@@ -1,0 +1,177 @@
+"""TPU-native 3D convolution primitives for cylindrical calorimeter grids.
+
+All tensors are channels-last ``(B, Z, A, R, C)`` (NDHWC) so XLA tiles the
+convolutions straight onto the MXU; A (alpha/phi) is the periodic axis.
+
+The signature op of this framework is the *cylindrical* convolution: circular
+padding along phi combined with ordinary zero padding along Z and R
+(reference behavior: calodiffusion/models/models.py:65-96 CylindricalConv,
+:25-62 CylindricalConvTrans).  Here the wrap is a `jnp.pad(mode='wrap')` that
+XLA fuses with the convolution's input pipeline; no gather/scatter involved.
+
+Transpose convolutions reproduce torch's ``ConvTranspose3d`` geometry
+(stride/padding/output_padding) exactly, via an input-dilated forward
+convolution with a spatially flipped kernel - the formulation XLA lowers
+best on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# (B, Z, A, R, C) activations; (kZ, kA, kR, C_in, C_out) kernels
+DIMS = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _triple(v) -> tuple[int, int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    return (int(v),) * 3
+
+
+def wrap_pad_phi(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Circular padding on the phi axis (axis=2 of NDHWC)."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0), (0, 0)), mode="wrap")
+
+
+def conv3d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride=1,
+    padding=0,
+) -> jnp.ndarray:
+    """Plain 3D conv with torch-style symmetric zero padding."""
+    stride = _triple(stride)
+    padding = _triple(padding)
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=DIMS,
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def cylindrical_conv3d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride=1,
+    padding=0,
+) -> jnp.ndarray:
+    """Conv3d with circular padding on phi, zero padding on Z and R."""
+    stride = _triple(stride)
+    pz, pa, pr = _triple(padding)
+    x = wrap_pad_phi(x, pa)
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=[(pz, pz), (0, 0), (pr, pr)],
+        dimension_numbers=DIMS,
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv3d_transpose(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride=1,
+    padding=0,
+    output_padding=0,
+) -> jnp.ndarray:
+    """torch-parity ConvTranspose3d.
+
+    out_i = (in_i - 1)*s_i - 2*p_i + k_i + op_i.
+
+    ``w`` has shape (kZ, kA, kR, C_in, C_out); internally the kernel is
+    spatially flipped and the op becomes a stride-1 conv over the
+    input-dilated activation (lhs_dilation = stride).
+    """
+    stride = _triple(stride)
+    padding = _triple(padding)
+    output_padding = _triple(output_padding)
+    k = w.shape[:3]
+    pads = [
+        (k[i] - 1 - padding[i], k[i] - 1 - padding[i] + output_padding[i])
+        for i in range(3)
+    ]
+    w_flip = w[::-1, ::-1, ::-1]
+    y = lax.conv_general_dilated(
+        x, w_flip,
+        window_strides=(1, 1, 1),
+        padding=pads,
+        lhs_dilation=stride,
+        dimension_numbers=DIMS,
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def cylindrical_conv3d_transpose(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride=1,
+    padding=0,
+    output_padding=0,
+) -> jnp.ndarray:
+    """Cylindrical transpose conv.
+
+    Matches the reference recipe: circular-pad phi by the *nominal* padding,
+    then run the transpose conv with phi padding forced to ``k_phi - 1``
+    (which crops the excess) while Z/R keep the nominal padding
+    (reference: models.py:25-62).
+    """
+    stride = _triple(stride)
+    pz, pa, pr = _triple(padding)
+    k = w.shape[:3]
+    x = wrap_pad_phi(x, pa)
+    eff_padding = (pz, k[1] - 1, pr)
+    return conv3d_transpose(
+        x, w, b, stride=stride, padding=eff_padding, output_padding=output_padding
+    )
+
+
+# ---------------------------------------------------------------------------
+# torch-compatible initializers (healthy training dynamics parity)
+# ---------------------------------------------------------------------------
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform(a=sqrt(5)) as used by torch Conv3d: U(-1/sqrt(fan_in), +)."""
+    fan_in = shape[0] * shape[1] * shape[2] * shape[3]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    # flax Dense kernels are (in, out): fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in):
+    return torch_conv_bias_init(fan_in)
