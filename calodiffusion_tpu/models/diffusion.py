@@ -1,0 +1,350 @@
+"""CaloDiffusion model: conditional denoiser + diffusion plumbing.
+
+Functional JAX re-design of the reference model API (reference:
+calodiffusion/models/diffusion.py Diffusion ABC, calodiffusion.py
+CaloDiffusion): parameters are explicit pytrees, ``denoise`` is a pure
+function, and sampling happens inside a single jitted computation per batch
+(the samplers run `lax.scan` on-device; see samplers/).
+
+External tensor layout stays reference-compatible - showers enter/leave as
+``(B, 1, Z, A, R)`` (or flat ``(B, N)`` for FCN / dataset-1 'orig' embeds) -
+while everything inside the network is channels-last for the MXU.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from calodiffusion_tpu.models.converters import NNConverter
+from calodiffusion_tpu.models.losses import get_loss
+from calodiffusion_tpu.models.nn_modules import CondUnet, ResNetDense
+from calodiffusion_tpu.utils import preprocessing
+from calodiffusion_tpu.utils.config import load_config
+from calodiffusion_tpu.utils.geom import GeomConverter
+from calodiffusion_tpu.utils.xml_handler import XMLHandler
+
+
+class CaloDiffusionNet(nn.Module):
+    """The full denoiser network: optional geometry embed + U-Net (+ decode).
+
+    __call__(x, E, t_emb, layers) -> prediction with x's layout.
+    """
+
+    unet_kwargs: Any          # dict of CondUnet kwargs (or ResNetDense kwargs)
+    fully_connected: bool
+    nn_embed_gc: Any          # GeomConverter for dataset-1 'NN' embeds, else None
+    hgcal_converter: Any      # HGCalConverterModule or None
+    layer_cond: bool
+    rz_images: Any            # (R_image, Z_image) numpy (1, Z, A, R) or None
+    phi_image: Any            # numpy (1, Z, A, R) or None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, E, t_emb, layers=None, controls=None):
+        if self.layer_cond and layers is not None:
+            E = jnp.concatenate([E, layers], axis=1)
+
+        if self.fully_connected:
+            net = ResNetDense(**self.unet_kwargs, dtype=self.dtype)
+            return net(x, cond=E, time=t_emb)
+
+        orig_shape = x.shape
+        embed = None
+        if self.nn_embed_gc is not None:
+            embed = NNConverter(self.nn_embed_gc, dtype=jnp.float32, name="NN_embed")
+            x_flat = x.reshape(x.shape[0], -1)
+            x = embed.enc(x_flat)[:, :, :, :, None]  # (B, Z, A, R, 1)
+        elif self.hgcal_converter is not None:
+            embed = self.hgcal_converter.clone(name="NN_embed")
+            x = embed.enc(x)[..., None]  # (B, Z, A, R, 1)
+        else:
+            # (B, 1, Z, A, R) -> channels-last
+            x = jnp.moveaxis(x, 1, -1)
+
+        cats = [x]
+        if self.rz_images is not None:
+            r_img = jnp.asarray(self.rz_images[0])[..., None]
+            z_img = jnp.asarray(self.rz_images[1])[..., None]
+            cats += [
+                jnp.broadcast_to(r_img, x.shape),
+                jnp.broadcast_to(z_img, x.shape),
+            ]
+        if self.phi_image is not None:
+            p_img = jnp.asarray(self.phi_image)[..., None]
+            cats.append(jnp.broadcast_to(p_img, x.shape))
+        if len(cats) > 1:
+            x = jnp.concatenate(cats, axis=-1)
+
+        out = CondUnet(**self.unet_kwargs, dtype=self.dtype)(
+            x, cond=E, time=t_emb, controls=controls
+        )
+
+        if self.nn_embed_gc is not None:
+            out = embed.dec(out[..., 0])
+            out = out.reshape(orig_shape)
+        elif self.hgcal_converter is not None:
+            out = embed.dec(out[..., 0])
+            out = out.reshape(orig_shape)
+        else:
+            out = jnp.moveaxis(out, -1, 1)
+        return out
+
+
+class CaloDiffusion:
+    """Config-driven diffusion model (reference CaloDiffusion class parity)."""
+
+    def __init__(self, config, n_steps: int = 400, loss_type: str = "l2"):
+        self.config = load_config(config)
+        c = self.config
+        self.nsteps = n_steps
+        self.loss_type = loss_type
+
+        shower_embed = c.get("SHOWER_EMBED", "")
+        self.pre_embed = "pre-embed" in shower_embed
+        self.hgcal = c.get("HGCAL", False)
+        self.fully_connected = "FCN" in shower_embed
+        self.time_embed = c.get("TIME_EMBED", "sin")
+        self.dataset_num = c.get("DATASET_NUM", 2)
+        self.training_objective = c.get("TRAINING_OBJ", "noise_pred")
+        self.layer_cond = "layer" in c.get("SHOWERMAP", "")
+
+        self.loss_function = get_loss(self.training_objective)(
+            c, self.nsteps, self.loss_type
+        )
+
+        if "orig" not in shower_embed:
+            self._data_shape = tuple(c["SHAPE_PAD"][1:])
+        else:
+            self._data_shape = tuple(c["SHAPE_ORIG"][1:])
+
+        # constant conditioning images over SHAPE_FINAL (channels-last (Z,A,R))
+        shape_final = c["SHAPE_FINAL"][1:]
+        rz_images = None
+        phi_image = None
+        if not self.fully_connected and c.get("R_Z_INPUT", False):
+            R_image, Z_image = preprocessing.create_R_Z_image(
+                dataset_num=self.dataset_num, scaled=True, shape=shape_final
+            )
+            rz_images = (R_image[0], Z_image[0])  # (Z, A, R)
+        if not self.fully_connected and c.get("PHI_INPUT", False):
+            phi_image = preprocessing.create_phi_image(shape=shape_final)[0]
+
+        # geometry embedding
+        nn_embed_gc = None
+        hgcal_converter = None
+        if "NN" in shower_embed and not self.hgcal:
+            part = "photon" if self.dataset_num == 1 else "pion"
+            bins = XMLHandler(part, c["BIN_FILE"])
+            nn_embed_gc = GeomConverter(bins)
+        elif self.hgcal and not self.pre_embed:
+            from calodiffusion_tpu.models.hgcal_converter import (
+                build_hgcal_converter_module,
+            )
+
+            hgcal_converter = build_hgcal_converter_module(c)
+
+        # network sizing (reference calodiffusion.py:39-81)
+        if self.fully_connected:
+            unet_kwargs = dict(
+                cond_emb_dim=c["COND_SIZE_UNET"],
+                dim_in=c["SHAPE_ORIG"][1],
+                num_layers=c["NUM_LAYERS_LINEAR"],
+                hidden_dim=512,
+            )
+        else:
+            in_channels = 1
+            if c.get("R_Z_INPUT", False):
+                in_channels = 3
+            if c.get("PHI_INPUT", False):
+                in_channels += 1
+            cond_size = 2 + c["SHAPE_FINAL"][2] if self.layer_cond else 1
+            if self.hgcal:
+                cond_size += 2
+            unet_kwargs = dict(
+                cond_dim=c["COND_SIZE_UNET"],
+                out_dim=1,
+                channels=in_channels,
+                layer_sizes=tuple(c["LAYER_SIZE_UNET"]),
+                block_attn=c.get("BLOCK_ATTN", False),
+                mid_attn=c.get("MID_ATTN", False),
+                cylindrical=c.get("CYLINDRICAL", False),
+                compress_Z=c.get("COMPRESS_Z", False),
+                resnet_block_groups=c.get("BLOCK_GROUPS", 8),
+                data_shape=tuple(shape_final[1:]),  # (Z, A, R)
+                cond_embed=(c.get("COND_EMBED", "sin") == "sin"),
+                cond_size=cond_size,
+                time_embed=(c.get("TIME_EMBED", "sin") == "sin"),
+            )
+        self.cond_size = unet_kwargs.get("cond_size", 1)
+
+        dtype = jnp.bfloat16 if c.get("PRECISION", "f32") == "bf16" else jnp.float32
+        self.net = CaloDiffusionNet(
+            unet_kwargs=unet_kwargs,
+            fully_connected=self.fully_connected,
+            nn_embed_gc=nn_embed_gc,
+            hgcal_converter=hgcal_converter,
+            layer_cond=self.layer_cond,
+            rz_images=rz_images,
+            phi_image=phi_image,
+            dtype=dtype,
+        )
+
+    # -- parameter management ---------------------------------------------
+    def example_batch(self, batch_size: int = 1):
+        x = jnp.zeros((batch_size, *self._data_shape), dtype=jnp.float32)
+        n_cond = 3 if self.hgcal else 1
+        E = jnp.zeros((batch_size, n_cond), dtype=jnp.float32)
+        layers = None
+        if self.layer_cond:
+            n_lay = self.config["SHAPE_FINAL"][2] + 1
+            layers = jnp.zeros((batch_size, n_lay), dtype=jnp.float32)
+        return x, E, layers
+
+    def init(self, key) -> Any:
+        x, E, layers = self.example_batch(1)
+        t = jnp.zeros((1,), dtype=jnp.float32)
+        return self.net.init(key, x, E, t, layers)
+
+    # -- diffusion math -----------------------------------------------------
+    def do_time_embed(self, sigma):
+        """sigma -> scalar time feature (reference calodiffusion.py:144-152)."""
+        if self.time_embed == "sigma":
+            return sigma / jnp.sqrt(1 + sigma**2)
+        if self.time_embed in ("log", "id", "sin"):
+            # 'sin'/'id' configs feed 0.5*log(sigma) through the (sinusoidal
+            # or linear) time MLP; reference uses the same two formulas
+            return 0.5 * jnp.log(sigma)
+        raise ValueError(f"Unknown TIME_EMBED {self.time_embed}")
+
+    def forward(self, params, x, E, time, layers=None, controls=None):
+        return self.net.apply(params, x, E, time, layers, controls)
+
+    def denoise(self, params, x, E=None, sigma=None, layers=None, controls=None):
+        """Apply loss-specific in/skip/out scalings and convert the network
+        prediction to an x0 estimate (reference calodiffusion.py:154-169)."""
+        t_emb = self.do_time_embed(jnp.reshape(sigma, (-1,)))
+        scales = self.loss_function.get_scaling(sigma)
+        pred = self.forward(params, x * scales["c_in"], E, t_emb, layers, controls)
+
+        name = self.training_objective
+        if "noise_pred" in name:
+            return x - sigma * pred
+        if "mean_pred" in name:
+            return pred
+        if "hybrid" in name or "minsnr" in name:
+            return scales["c_skip"] * x + scales["c_out"] * pred
+        raise ValueError(f"??? Training obj {name}")
+
+    def denoise_fn(self, params):
+        def fn(x, E=None, sigma=None, layers=None):
+            return self.denoise(params, x, E=E, sigma=sigma, layers=layers)
+
+        return fn
+
+    def compute_loss(
+        self, params, key, data, energy, noise=None, layers=None, time=None,
+        rnd_normal=None,
+    ):
+        return self.loss_function(
+            self.denoise_fn(params), data, energy, key,
+            noise=noise, time=time, layers=layers, rnd_normal=rnd_normal,
+        )
+
+    # -- sampling -----------------------------------------------------------
+    def noise_generation(self, key, shape):
+        return jax.random.normal(key, shape, dtype=jnp.float32)
+
+    def make_sampler(self, sampler_name: Optional[str] = None):
+        from calodiffusion_tpu.samplers import get_sampler
+
+        name = sampler_name or self.config.get("SAMPLER", "DDim")
+        return get_sampler(name)(self.config)
+
+    def sample(
+        self, params, key, energy, layers=None, num_steps: int = 400,
+        sample_offset: int = 0, debug: bool = False, sampler=None,
+    ):
+        """Generate one batch of showers; the entire reverse trajectory runs
+        inside jit (reference diffusion.py:77-104)."""
+        if sampler is None:
+            sampler = self.make_sampler()
+        shape = (energy.shape[0], *self._data_shape)
+        k_start, k_samp = jax.random.split(key)
+        start = self.noise_generation(k_start, shape)
+        return sampler(
+            self, params, start, energy, layers, num_steps, sample_offset,
+            k_samp, debug,
+        )
+
+    def generate(
+        self, params, key, data_loader, sample_steps: int,
+        debug: bool = False, sample_offset: int = 0,
+        sparse_decoding: bool = False, sparse_per_batch: bool = False,
+        sampler=None,
+    ):
+        """Sample a whole dataloader and invert preprocessing
+        (reference diffusion.py:118-197)."""
+        c = self.config
+        orig_shape = "orig" in c.get("SHOWER_EMBED", "")
+        if sampler is None:
+            sampler = self.make_sampler()
+
+        jitted = jax.jit(
+            lambda p, k, E, lay: self.sample(
+                p, k, E, layers=lay, num_steps=sample_steps,
+                sample_offset=sample_offset, sampler=sampler,
+            )
+        )
+
+        generated, energies, layers_all = [], [], []
+        for i, (E, layers_, d_batch) in enumerate(data_loader):
+            key, sub = jax.random.split(key)
+            E = jnp.asarray(E)
+            lay = jnp.asarray(layers_) if self.layer_cond else None
+            out = jitted(params, sub, E, lay)
+            generated.append(np.asarray(out))
+            energies.append(np.asarray(E))
+            if self.layer_cond:
+                layers_all.append(np.asarray(layers_))
+
+        generated = np.concatenate(generated)
+        energies = np.concatenate(energies)
+        layers_np = np.concatenate(layers_all) if layers_all else None
+
+        if self.hgcal:
+            from calodiffusion_tpu.utils import hgcal_utils
+
+            generated, energies = hgcal_utils.reverse_norm_hgcal(
+                generated, energies,
+                shape=c["SHAPE_FINAL"], config=c,
+                emax=c["EMAX"], emin=c["EMIN"], layerE=layers_np,
+                logE=c["logE"], binning_file=c["BIN_FILE"],
+                max_deposit=c["MAXDEP"], showerMap=c["SHOWERMAP"],
+                dataset_num=self.dataset_num, orig_shape=orig_shape,
+                ecut=float(c["ECUT"]), embed=self.pre_embed,
+                sparse_decoding=sparse_decoding,
+                sparse_per_batch=sparse_per_batch,
+            )
+        else:
+            generated, energies = preprocessing.reverse_norm(
+                generated, energies,
+                shape=c["SHAPE_FINAL"], config=c,
+                emax=c["EMAX"], emin=c["EMIN"], layerE=layers_np,
+                logE=c["logE"], binning_file=c["BIN_FILE"],
+                max_deposit=c["MAXDEP"], showerMap=c["SHOWERMAP"],
+                dataset_num=self.dataset_num, orig_shape=orig_shape,
+                ecut=float(c["ECUT"]),
+            )
+        if not orig_shape:
+            generated = generated.reshape(c["SHAPE_ORIG"])
+        energies = np.reshape(energies, (energies.shape[0], -1))
+        return generated, energies
+
+    def __call__(self, params, x, **kwargs):
+        return self.denoise(params, x, **kwargs)
