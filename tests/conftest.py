@@ -15,3 +15,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compilation cache: CondUnet fwd+bwd graphs take minutes to
+# compile on CPU; cache them across test runs
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

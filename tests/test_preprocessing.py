@@ -1,0 +1,78 @@
+"""Numeric unit tests for preprocessing: forward <-> inverse roundtrip and
+schedule tables (tests the reference lacks; SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from calodiffusion_tpu.samplers import schedules
+from calodiffusion_tpu.utils import preprocessing
+
+
+def make_raw_showers(n=32, shape=(45, 16, 9), seed=0):
+    rng = np.random.default_rng(seed)
+    # sparse positive depositions, GeV-ish after shower_scale
+    shower = rng.exponential(0.001, (n, int(np.prod(shape)))).astype(np.float32)
+    shower[rng.uniform(size=shower.shape) < 0.7] = 0.0
+    e = rng.uniform(0.001, 1.0, (n, 1)).astype(np.float32)
+    return shower, e
+
+
+@pytest.mark.parametrize("showerMap", ["layer-logit-norm", "log-norm", "logit-norm"])
+def test_preprocess_reverse_roundtrip_ds2(showerMap):
+    shower, e = make_raw_showers()
+    shape = (-1, 1, 45, 16, 9)
+    emin, emax = 1.0, 1000.0
+    raw_e = emin * (emax / emin) ** np.random.default_rng(1).uniform(0, 1, (32, 1))
+    e = (np.log10(raw_e / emin) / np.log10(emax / emin)).astype(np.float32)
+
+    pre, layerE = preprocessing.preprocess_shower(
+        shower.copy(), raw_e.astype(np.float32) , shape, "", showerMap,
+        dataset_num=2, ecut=0, max_deposit=2,
+    )
+    rec, energy = preprocessing.reverse_norm(
+        pre.reshape(-1, 1, 45, 16, 9), e.astype(np.float32),
+        emax=emax, emin=emin, shape=shape, max_deposit=2,
+        logE=True, layerE=layerE, showerMap=showerMap,
+        dataset_num=2, ecut=0,
+    )
+    np.testing.assert_allclose(energy, raw_e, rtol=1e-4)
+    rec = rec.reshape(shower.shape)
+    # roundtrip recovers the raw shower to float precision
+    np.testing.assert_allclose(rec, shower, atol=5e-4, rtol=1e-3)
+
+
+def test_logit_inverse():
+    x = np.random.default_rng(0).uniform(0.0, 1.0, 1000).astype(np.float64)
+    y = preprocessing.logit(x)
+    x2 = preprocessing.reverse_logit(y)
+    mask = (x > 1e-5) & (x < 1 - 1e-5)
+    np.testing.assert_allclose(x2[mask], x[mask], atol=1e-6)
+
+
+def test_cosine_schedule_tables():
+    t = schedules.ddpm_tables(400)
+    assert t["betas"].shape == (400,)
+    assert np.all(t["betas"] >= 0.0001) and np.all(t["betas"] <= 0.9999)
+    acp = t["alphas_cumprod"]
+    assert np.all(np.diff(acp) < 0)  # strictly decreasing
+    sig = schedules.discrete_sigmas(400)
+    assert np.all(np.diff(sig) < 0)  # decreasing sigma ladder for sampling
+    assert sig[-1] > 0
+
+
+def test_karras_grid_endpoints():
+    t = schedules.karras_steps(40, 0.002, 80.0, rho=7)
+    assert np.isclose(t[0], 80.0, rtol=1e-5)
+    assert np.isclose(t[-1], 0.002, rtol=1e-5)
+    assert np.all(np.diff(t) < 0)
+
+
+def test_rz_phi_images_ds2():
+    R, Z = preprocessing.create_R_Z_image(dataset_num=2, scaled=True,
+                                          shape=(1, 45, 16, 9))
+    assert R.shape == Z.shape == (1, 45, 16, 9)
+    assert np.isclose(R[0, 0, 0, -1], 1.0)  # outermost ring normalized to 1
+    assert np.all(np.diff(R[0, 0, 0, :]) > 0)
+    assert np.isclose(Z[0, -1, 0, 0], 44 / 45)
+    phi = preprocessing.create_phi_image(shape=(1, 45, 16, 9))
+    assert np.isclose(phi[0, 0, -1, 0], 1.0)

@@ -1,0 +1,102 @@
+"""End-to-end slice: synthetic dataset-2 HDF5 -> preprocess/cache ->
+2-epoch training -> checkpoint -> resume -> sample -> ReverseNorm.
+
+Mirrors the reference's CLI-level smoke strategy (reference
+tests/test_execution.py) but exercises the library API directly.
+"""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+
+from calodiffusion_tpu.data.loader import load_data
+from calodiffusion_tpu.train.trainer import TrainDiffusion
+from calodiffusion_tpu.utils.config import default_flags
+from tests.utils_test import tiny_ds2_config
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("ds2data")
+    rng = np.random.default_rng(0)
+    for fname in ("dataset_2_1.hdf5", "dataset_2_2.hdf5"):
+        n = 48
+        showers = rng.exponential(1.0, (n, 6480)).astype(np.float32)
+        showers[rng.uniform(size=showers.shape) < 0.8] = 0
+        energies = rng.uniform(1000.0, 1000000.0, (n, 1)).astype(np.float32)
+        with h5py.File(folder / fname, "w") as f:
+            f.create_dataset("showers", data=showers)
+            f.create_dataset("incident_energies", data=energies)
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def cfg(synth_data):
+    return tiny_ds2_config(
+        VAL_FILES=["dataset_2_2.hdf5"],
+        EVAL=["dataset_2_2.hdf5"],
+        BATCH=16,
+        MAXEPOCH=2,
+        NSTEPS=8,
+        LAYER_SIZE_UNET=[8, 8, 8, 8],
+        COND_SIZE_UNET=16,
+    )
+
+
+def test_load_data_cache(cfg, synth_data):
+    flags = default_flags(data_folder=synth_data)
+    train_loader, val_loader = load_data(flags, cfg)
+    assert os.path.exists(os.path.join(synth_data, "dataset_2_1.hdf5.npz"))
+    E, layers, showers = next(iter(train_loader))
+    assert showers.shape == (16, 1, 45, 16, 9)
+    assert E.shape == (16, 1)
+    assert layers.shape == (16, 46)  # totalE + 45 layer fractions
+    assert np.all(np.isfinite(showers))
+    assert len(train_loader) == 3  # 48 events / batch 16
+
+
+def test_train_checkpoint_resume_sample(cfg, synth_data, tmp_path):
+    flags = default_flags(
+        data_folder=synth_data, checkpoint_folder=str(tmp_path / "ckpt")
+    )
+    trainer = TrainDiffusion(flags, cfg)
+    model, params = trainer.train()
+
+    folder = trainer.checkpoint_folder
+    assert os.path.exists(os.path.join(folder, "checkpoint.ckpt"))
+    assert os.path.exists(os.path.join(folder, "final.ckpt"))
+    assert os.path.exists(os.path.join(folder, "best_val.ckpt"))
+    assert os.path.exists(os.path.join(folder, "config.json"))
+    assert os.path.exists(os.path.join(folder, "final_training_losses.txt"))
+
+    # losses should be finite and improving-ish
+    with open(os.path.join(folder, "final_training_losses.txt")) as f:
+        losses = [float(x) for x in f.read().split()]
+    assert len(losses) == 2 and all(np.isfinite(losses))
+
+    # resume: one more epoch from the checkpoint
+    flags2 = default_flags(
+        data_folder=synth_data, checkpoint_folder=str(tmp_path / "ckpt"),
+        load=True,
+    )
+    cfg2 = dict(cfg, MAXEPOCH=3)
+    trainer2 = TrainDiffusion(flags2, cfg2)
+    trainer2.train()
+    with open(os.path.join(folder, "final_training_losses.txt")) as f:
+        losses2 = [float(x) for x in f.read().split()]
+    assert len(losses2) == 3  # epochs 0,1 restored + epoch 2
+
+    # generation end-to-end: sample EVAL loader and reverse-normalize
+    eval_flags = default_flags(data_folder=synth_data)
+    eval_loader, _ = load_data(eval_flags, cfg, eval=True)
+    generated, energies = model.generate(
+        params, jax.random.PRNGKey(0), eval_loader, sample_steps=4
+    )
+    assert generated.shape == (48, 6480)
+    assert energies.shape == (48, 1)
+    assert np.all(np.isfinite(generated))
+    assert np.all(generated >= 0)  # post-ReverseNorm physical energies
