@@ -1,0 +1,202 @@
+"""Model-quality metrics: FPD and CNN-classifier log-posterior.
+
+Parity with reference calodiffusion/train/evaluate.py (whose ``FDP`` class
+has a ``_init__`` typo so its ctor never ran - fixed here, class name kept
+for registry compatibility plus the corrected alias), with jetnet's fpd
+replaced by the self-contained implementation in evaluation/frechet.py.
+
+``CNNCompare`` trains/loads a small convolutional real-vs-generated
+classifier in Flax (the reference uses a torchvision ResNet18 variant;
+reference evaluate.py:82-234) and scores generated samples by mean log
+posterior.  The reference's training objective (``1 - CrossEntropy(p_true,
+p_pred)``) is not a working classifier loss; the intended binary
+cross-entropy real-vs-generated objective is implemented.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from calodiffusion_tpu.evaluation import frechet
+from calodiffusion_tpu.evaluation.hlf import HighLevelFeatures
+
+
+class FDPCalculationError(Exception):
+    pass
+
+
+class FPD:
+    """Frechet Physics Distance over HighLevelFeatures."""
+
+    def __init__(self, binning_dataset: str, particle: str):
+        self.hlf = HighLevelFeatures(particle, filename=binning_dataset)
+        self.reference_hlf = HighLevelFeatures(particle, filename=binning_dataset)
+
+    def __call__(self, trained_model, params, key, eval_data, **kwargs) -> float:
+        reference_shower, reference_energy = [], []
+        for energy, _, data in eval_data:
+            reference_shower.append(np.asarray(data))
+            reference_energy.append(np.asarray(energy))
+        reference_shower = np.concatenate(reference_shower)
+        reference_energy = np.concatenate(reference_energy)
+
+        generated, energies = trained_model.generate(
+            params, key, eval_data,
+            sample_steps=trained_model.config.get("NSTEPS"),
+            sample_offset=0,
+        )
+
+        self.hlf.CalculateFeatures(generated.reshape(generated.shape[0], -1))
+        self.reference_hlf.CalculateFeatures(
+            reference_shower.reshape(reference_shower.shape[0], -1)
+        )
+        source = self.hlf.feature_matrix(energies)
+        reference = self.reference_hlf.feature_matrix(reference_energy)
+        try:
+            value, _err = frechet.fpd(reference, source)
+        except (ValueError, np.linalg.LinAlgError) as err:
+            raise FDPCalculationError(err)
+        return value
+
+
+# registry-compatible alias (the reference class is named FDP)
+FDP = FPD
+
+
+class ComparisonNetwork(nn.Module):
+    """Small conv classifier over (Z, A, R) voxel grids + incident energy."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, E, train: bool = False):
+        # x: (B, Z, A, R) -> treat Z as channels of a 2D image (reference
+        # uses Conv2d(45, 32) the same way)
+        x = jnp.moveaxis(x, 1, -1)  # (B, A, R, Z)
+        for feats, stride in ((32, 2), (64, 2), (96, 1), (128, 1)):
+            x = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                        padding="SAME", dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = jnp.concatenate([x, E.reshape(x.shape[0], -1)], axis=-1)
+        x = nn.relu(nn.Dense(128, dtype=self.dtype)(x))
+        return nn.Dense(1, dtype=self.dtype)(x)[:, 0]
+
+
+class CNNCompare:
+    """Mean log posterior of generated showers under a real-vs-generated
+    CNN classifier (reference evaluate.py:134-234)."""
+
+    def __init__(self, trained_model, config, flags, params=None,
+                 key=None):
+        self.flags = flags
+        self.config = config
+        self.trained_model = trained_model
+        self.model_params = params
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.sample_offset = getattr(
+            config.get("flags", {}), "sample_offset", 0
+        ) or 0
+
+        shapes = {2: (45, 16, 9), 3: (45, 50, 18)}
+        num = config.get("DATASET_NUM")
+        if num not in shapes:
+            raise ValueError(
+                f"Only datasets {list(shapes)} can be evaluated with CNNCompare."
+            )
+        self.data_shape = shapes[num]
+        self.cnn = ComparisonNetwork()
+        self.cnn_params = self._load_or_init()
+
+    def _weights_path(self):
+        base = getattr(self.config.get("flags", {}), "results_folder", ".") or "."
+        name = self.config.get("EVAL_NETWORK", "eval_cnn")
+        return os.path.join(base, f"{name}.npz")
+
+    def _load_or_init(self):
+        self.key, k = jax.random.split(self.key)
+        x = jnp.zeros((1, *self.data_shape))
+        E = jnp.zeros((1, 1))
+        params = self.cnn.init(k, x, E)
+        path = self._weights_path()
+        if os.path.exists(path):
+            import flax.serialization as ser
+
+            with open(path, "rb") as f:
+                params = ser.from_bytes(params, f.read())
+        else:
+            print(f"WARNING: Cannot find weights at path {path}")
+        if self.config.get("RETRAIN_EVAL_NETWORK", False):
+            params = self.train_network(params)
+        return params
+
+    def _sample_batch(self, E, layers):
+        self.key, k = jax.random.split(self.key)
+        out = self.trained_model.sample(
+            self.model_params, k, jnp.asarray(E),
+            layers=jnp.asarray(layers) if layers is not None else None,
+            num_steps=self.config["NSTEPS"],
+            sample_offset=self.sample_offset,
+        )
+        x = out["x"] if isinstance(out, dict) else np.asarray(out)
+        return x.reshape(-1, *self.data_shape)
+
+    def train_network(self, params):
+        from calodiffusion_tpu.data.loader import load_data
+
+        training_data, _ = load_data(self.flags, self.config, eval=True)
+        hp = {2: {"epochs": 48, "lr": 2.5e-4}, 3: {"epochs": 12, "lr": 5e-5}}
+        cfg = hp[self.config.get("DATASET_NUM")]
+        opt = optax.adamw(cfg["lr"])
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, x_real, x_gen, E):
+            def loss_fn(p):
+                logit_real = self.cnn.apply(p, x_real, E)
+                logit_gen = self.cnn.apply(p, x_gen, E)
+                loss = optax.sigmoid_binary_cross_entropy(
+                    logit_real, jnp.ones_like(logit_real)
+                ).mean() + optax.sigmoid_binary_cross_entropy(
+                    logit_gen, jnp.zeros_like(logit_gen)
+                ).mean()
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(cfg["epochs"]):
+            for E, layers, data in training_data:
+                x_gen = self._sample_batch(E, layers)
+                x_real = np.asarray(data).reshape(-1, *self.data_shape)
+                params, opt_state, _ = step(
+                    params, opt_state, jnp.asarray(x_real),
+                    jnp.asarray(x_gen), jnp.asarray(E),
+                )
+
+        import flax.serialization as ser
+
+        path = self._weights_path()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(ser.to_bytes(params))
+        return params
+
+    def __call__(self, eval_data) -> float:
+        log_posteriors = []
+        for E, layers, data in eval_data:
+            x_gen = self._sample_batch(E, layers)
+            logits = self.cnn.apply(self.cnn_params, jnp.asarray(x_gen),
+                                    jnp.asarray(E))
+            log_posteriors.append(np.asarray(jax.nn.log_sigmoid(logits)))
+        return float(np.mean(np.concatenate(log_posteriors)))

@@ -1,0 +1,102 @@
+"""Evaluation-stack tests: XML binning, HLF, separation power, FPD,
+classifier AUC/JSD."""
+
+import numpy as np
+import pytest
+
+from calodiffusion_tpu.evaluation import frechet
+from calodiffusion_tpu.evaluation.classifier import classifier_metrics
+from calodiffusion_tpu.evaluation.hlf import HighLevelFeatures
+from calodiffusion_tpu.evaluation.metrics_utils import separation_power
+from calodiffusion_tpu.utils.xml_handler import XMLHandler
+
+BINNING_XML = """<Bins>
+<Particle name="photon">
+  <Bin id="0" r_edges="0,5,10,30" n_bin_alpha="1"/>
+  <Bin id="1" r_edges="0,2,5,10,20,30" n_bin_alpha="10"/>
+  <Bin id="2" r_edges="0,10,30" n_bin_alpha="10"/>
+  <Bin id="3" r_edges="0" n_bin_alpha="1"/>
+</Particle>
+</Bins>
+"""
+
+
+@pytest.fixture(scope="module")
+def binning_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("xml") / "binning.xml"
+    p.write_text(BINNING_XML)
+    return str(p)
+
+
+def test_xml_handler(binning_file):
+    xml = XMLHandler("photon", binning_file)
+    assert xml.GetTotalNumberOfBins() == 3 + 50 + 20
+    assert xml.GetBinEdges() == [0, 3, 53, 73, 73]
+    assert xml.GetRelevantLayers() == [0, 1, 2]
+    assert xml.GetLayersWithBinningInAlpha() == [1, 2]
+    eta, phi = xml.GetEtaPhiAllLayers()
+    assert len(eta[1]) == 50
+    # layer with single alpha bin: phi ~ r*sin(0) = 0? alpha center of 1 bin
+    # spanning [-pi, pi] is 0 -> eta = r, phi = 0
+    np.testing.assert_allclose(phi[0], 0, atol=1e-9)
+
+
+def test_hlf_features(binning_file):
+    hlf = HighLevelFeatures("photon", binning_file)
+    rng = np.random.default_rng(0)
+    data = rng.exponential(1.0, (50, 73)).astype(np.float32)
+    hlf.CalculateFeatures(data)
+    assert hlf.GetEtot().shape == (50,)
+    assert set(hlf.GetElayers()) == {0, 1, 2}
+    assert set(hlf.GetECEtas()) == {1, 2}
+    np.testing.assert_allclose(
+        hlf.GetEtot(),
+        sum(hlf.GetElayers()[l] for l in hlf.GetElayers()),
+        rtol=1e-5,
+    )
+    energies = rng.uniform(1, 100, (50, 1))
+    feats = hlf.feature_matrix(energies)
+    # 1 energy + 3 layer E + 2 layers x 4 moments
+    assert feats.shape == (50, 1 + 3 + 8)
+    assert np.all(np.isfinite(feats))
+
+
+def test_separation_power_properties():
+    bins = np.linspace(0, 1, 21)
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, 20000)
+    h1, _ = np.histogram(a, bins=bins, density=True)
+    h2, _ = np.histogram(rng.uniform(0, 1, 20000), bins=bins, density=True)
+    assert separation_power(h1, h1, bins) == 0
+    assert separation_power(h1, h2, bins) < 0.01  # same dist, finite stats
+    h3, _ = np.histogram(rng.normal(0.8, 0.05, 20000).clip(0, 1),
+                         bins=bins, density=True)
+    assert separation_power(h1, h3, bins) > 0.3  # very different dists
+
+
+def test_fpd_discriminates():
+    rng = np.random.default_rng(0)
+    real = rng.normal(0, 1, (4000, 10))
+    same = rng.normal(0, 1, (4000, 10))
+    shifted = rng.normal(0.5, 1, (4000, 10))
+    fpd_same, err_same = frechet.fpd(real, same, min_samples=200,
+                                     max_samples=4000, num_batches=5)
+    fpd_diff, _ = frechet.fpd(real, shifted, min_samples=200,
+                              max_samples=4000, num_batches=5)
+    assert fpd_diff > fpd_same + 0.1
+    assert abs(fpd_same) < 0.1
+
+
+def test_classifier_metrics_sanity():
+    rng = np.random.default_rng(0)
+    real = rng.normal(0, 1, (2000, 8)).astype(np.float32)
+    # identical distributions -> AUC ~ 0.5, JSD ~ 0
+    same = rng.normal(0, 1, (2000, 8)).astype(np.float32)
+    m_same = classifier_metrics(real, same, epochs=5)
+    assert 0.4 < m_same["auc"] < 0.6
+    assert m_same["jsd"] < 0.12
+    # clearly different -> high AUC, larger JSD
+    diff = rng.normal(1.5, 1, (2000, 8)).astype(np.float32)
+    m_diff = classifier_metrics(real, diff, epochs=5)
+    assert m_diff["auc"] > 0.85
+    assert m_diff["jsd"] > 0.3
