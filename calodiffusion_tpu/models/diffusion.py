@@ -195,6 +195,34 @@ class CaloDiffusion:
             dtype=dtype,
         )
 
+    # -- cold diffusion -----------------------------------------------------
+    def init_cold_diffu(self):
+        """Load per-energy-bin average/std showers for cold diffusion.
+
+        The reference references ``gen_cold_image`` without defining it
+        (latent bug, reference train_diffusion.py:56); implemented here as
+        in the original CaloDiffusion paper: the starting "noise" is the
+        energy-binned average shower plus scaled fluctuations."""
+        import h5py as h5
+
+        loc = self.config["AVG_SHOWER_LOC"]
+        with h5.File(loc, "r") as f:
+            self._avg_showers = jnp.asarray(f["avg_showers"][:], jnp.float32)
+            self._std_showers = jnp.asarray(f["std_showers"][:], jnp.float32)
+            self._E_bins = jnp.asarray(f["E_bins"][:], jnp.float32)
+        return self
+
+    def lookup_avg_std_shower(self, E):
+        idx = jnp.clip(
+            jnp.searchsorted(self._E_bins, E.reshape(-1)) - 1,
+            0, self._avg_showers.shape[0] - 1,
+        )
+        return self._avg_showers[idx], self._std_showers[idx]
+
+    def gen_cold_image(self, E, cold_noise_scale, noise):
+        avg, std = self.lookup_avg_std_shower(E)
+        return avg + cold_noise_scale * noise * std
+
     # -- parameter management ---------------------------------------------
     def example_batch(self, batch_size: int = 1):
         x = jnp.zeros((batch_size, *self._data_shape), dtype=jnp.float32)

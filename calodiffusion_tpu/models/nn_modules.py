@@ -456,7 +456,8 @@ class CondUnet(nn.Module):
         return extras
 
     @nn.compact
-    def __call__(self, x, cond=None, time=None, controls=None):
+    def __call__(self, x, cond=None, time=None, controls=None,
+                 return_hiddens=False):
         ls = list(self.layer_sizes)
         in_out = list(zip(ls[:-1], ls[1:]))
         num_resolutions = len(in_out)
@@ -521,6 +522,10 @@ class CondUnet(nn.Module):
         if controls is not None:
             add_fn, ch = controls[-1]
             x = add_fn(x, ch)
+
+        if return_hiddens:
+            # ControlNet hidden-state collection (reference models.py:750-777)
+            return hs + [x]
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind >= num_resolutions - 1

@@ -189,10 +189,23 @@ class TrainDiffusion(Train):
         model = self.model
         opt = self.opt
         ema_decay = self.ema_decay
+        cold_diffu = self.config.get("COLD_DIFFU", False)
+        cold_noise_scale = self.config.get("COLD_NOISE", 1.0)
+        if cold_diffu:
+            model.init_cold_diffu()
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, ema_params, key, data, E, layers):
             def loss_fn(p):
+                if cold_diffu:
+                    # cold diffusion interpolates from average showers
+                    # instead of pure noise (reference train_diffusion.py:55-56)
+                    k_n, k_l = jax.random.split(key)
+                    noise = jax.random.normal(k_n, data.shape, data.dtype)
+                    noise = model.gen_cold_image(E, cold_noise_scale, noise)
+                    return model.compute_loss(
+                        p, k_l, data, E, noise=noise, layers=layers
+                    )
                 return model.compute_loss(p, key, data, E, layers=layers)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

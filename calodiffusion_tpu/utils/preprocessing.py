@@ -84,9 +84,13 @@ def preprocess_shower(
         eshape = (-1, *(1,) * (len(shower.shape) - 1))
         shower = np.ma.divide(shower, max_deposit * e.reshape(eshape))
         if dataset_num % 10 > 1 or not orig_shape:
-            # regular grid: layer = sum over (alpha, R)
-            layers = np.sum(shower, (3, 4), keepdims=True)
-            totalE = np.sum(shower, (2, 3, 4), keepdims=True)
+            # regular grid: layer = sum over (alpha, R); works for both the
+            # (N, 1, Z, A, R) padded layout and the (N, L, A, R) output of
+            # GeomConverter (dataset-1 regular path)
+            layers = np.sum(shower, tuple(range(shower.ndim - 2, shower.ndim)),
+                            keepdims=True)
+            totalE = np.sum(shower, tuple(range(shower.ndim - 3, shower.ndim)),
+                            keepdims=True)
             shower = np.reshape(shower, (shower.shape[0], -1))
         else:
             # irregular flat layout: layer boundaries from the binning XML

@@ -1,0 +1,76 @@
+"""Layer-energy cascade model tests (LayerDiffusion)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from calodiffusion_tpu.models.layerdiffusion import LayerDiffusion
+from tests.utils_test import fake_batch, tiny_ds2_config
+
+
+@pytest.fixture(scope="module")
+def layer_model():
+    cfg = tiny_ds2_config(
+        LAYER_SIZE_UNET=[8, 8, 8, 8], COND_SIZE_UNET=16,
+        LAYER_STEPS=4, NSTEPS=4,
+    )
+    model = LayerDiffusion(cfg, n_steps=4, loss_type="l2")
+    params = model.init(jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def test_param_structure(layer_model):
+    cfg, model, params = layer_model
+    assert set(params.keys()) == {"base_model", "layer_model"}
+
+
+def test_layer_loss_only_trains_layer_net(layer_model):
+    cfg, model, params = layer_model
+    data, E, layers = fake_batch(cfg)
+    model.set_layer_state(True)
+
+    def loss_fn(p):
+        return model.compute_loss(p, jax.random.PRNGKey(1), jnp.asarray(data),
+                                  jnp.asarray(E), layers=jnp.asarray(layers))
+
+    grads = jax.grad(loss_fn)(params)
+    g_layer = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree_util.tree_leaves(grads["layer_model"])
+    )
+    g_base = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree_util.tree_leaves(grads["base_model"])
+    )
+    assert g_layer > 0
+    assert g_base == 0  # base model untouched in layer-training mode
+    model.set_layer_state(False)
+
+
+def test_base_loss_trains_base_net(layer_model):
+    cfg, model, params = layer_model
+    data, E, layers = fake_batch(cfg)
+    model.set_layer_state(False)
+
+    def loss_fn(p):
+        return model.compute_loss(p, jax.random.PRNGKey(1), jnp.asarray(data),
+                                  jnp.asarray(E), layers=jnp.asarray(layers))
+
+    grads = jax.grad(loss_fn)(params)
+    g_base = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree_util.tree_leaves(grads["base_model"])
+    )
+    assert g_base > 0
+
+
+def test_two_stage_sampling(layer_model):
+    cfg, model, params = layer_model
+    _, E, _ = fake_batch(cfg, batch=2)
+    out = model.sample(params, jax.random.PRNGKey(2), jnp.asarray(E),
+                       layers=None, num_steps=4, return_layers=True)
+    assert out["x"].shape == (2, 1, 45, 16, 9)
+    assert np.asarray(out["layers"]).shape == (2, 46)
+    assert np.all(np.isfinite(out["x"]))
+    assert np.all(np.isfinite(np.asarray(out["layers"])))
