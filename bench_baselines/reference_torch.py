@@ -30,6 +30,17 @@ def _stub_missing_modules():
         sde = types.ModuleType("torchsde")
         sde.BrownianTree = object
         sys.modules["torchsde"] = sde
+    if "HGCalShowers" not in sys.modules:
+        pkg = types.ModuleType("HGCalShowers")
+        geo = types.ModuleType("HGCalShowers.HGCalGeo")
+
+        class HGCalGeo:  # placeholder; ds2 benchmark never loads a geometry
+            pass
+
+        geo.HGCalGeo = HGCalGeo
+        pkg.HGCalGeo = geo
+        sys.modules["HGCalShowers"] = pkg
+        sys.modules["HGCalShowers.HGCalGeo"] = geo
 
 
 def _ds2_config():

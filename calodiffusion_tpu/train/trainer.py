@@ -28,6 +28,7 @@ from calodiffusion_tpu.models.diffusion import CaloDiffusion
 from calodiffusion_tpu.parallel import mesh as mesh_lib
 from calodiffusion_tpu.train import checkpoint as ckpt_io
 from calodiffusion_tpu.train.schedulers import EarlyStopper, ReduceLROnPlateau
+from calodiffusion_tpu.utils.profiling import StepTimer, trace
 
 
 class Train:
@@ -248,20 +249,29 @@ class TrainDiffusion(Train):
             self.rng, k = jax.random.split(self.rng)
             val_rnd = jax.random.normal(k, (n_val, self.batch_size))
 
+        timer = StepTimer()
+        trace_dir = getattr(self.flags, "trace_dir", None) or self.config.get(
+            "TRACE_DIR"
+        )
+
         min_validation_loss = 99999.0
         epoch = start_epoch
         for epoch in range(start_epoch, num_epochs):
             print(f"Beginning epoch {epoch}", flush=True)
             train_loss, n_batches = 0.0, 0
-            for E, layers, data in self.loader_train:
-                self.rng, k = jax.random.split(self.rng)
-                E_d, lay_d, data_d = self._device_batch(E, layers, data)
-                self.params, self.opt_state, self.ema_params, loss = train_step(
-                    self.params, self.opt_state, self.ema_params, k,
-                    data_d, E_d, lay_d if layer_cond else None,
-                )
-                train_loss += float(loss)
-                n_batches += 1
+            with trace(trace_dir if epoch == start_epoch + 1 else None):
+                for E, layers, data in self.loader_train:
+                    self.rng, k = jax.random.split(self.rng)
+                    with timer.phase("h2d"):
+                        E_d, lay_d, data_d = self._device_batch(E, layers, data)
+                    with timer.phase("step"):
+                        (self.params, self.opt_state, self.ema_params,
+                         loss) = train_step(
+                            self.params, self.opt_state, self.ema_params, k,
+                            data_d, E_d, lay_d if layer_cond else None,
+                        )
+                        train_loss += float(loss)
+                    n_batches += 1
             train_loss /= max(n_batches, 1)
             training_losses[epoch] = train_loss
             print(f"loss: {train_loss}")
