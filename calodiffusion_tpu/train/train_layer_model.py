@@ -18,6 +18,47 @@ class TrainLayerModel(TrainDiffusion):
                          save_model=save_model, mesh=mesh)
         self.inference = inference
 
+    def load_for_inference(self):
+        """Composite loading (reference layerdiffusion.py:58-107): base-model
+        weights from --model-loc (either a plain diffusion checkpoint or a
+        composite one), layer-model weights from config['layer_model']."""
+        import os
+
+        from calodiffusion_tpu.train import checkpoint as ckpt_io
+
+        if self.model is None:
+            self.init_model()
+
+        def load_params(loc):
+            folder = os.path.dirname(loc)
+            name = os.path.basename(loc)
+            for suffix in (".ckpt", ".pth"):
+                name = name.removesuffix(suffix)
+            arrays, _ = ckpt_io.load_checkpoint(folder, name)
+            return arrays.get("ema_params") or arrays["params"]
+
+        base = load_params(self.flags.model_loc)
+        if isinstance(base, dict) and "base_model" in base:
+            base = base["base_model"]
+
+        layer_loc = self.config.get("layer_model")
+        if layer_loc:
+            layer = load_params(layer_loc)
+            layer = layer.get("layer_model", layer) if isinstance(layer, dict) \
+                and "layer_model" in layer else layer
+        else:
+            # composite checkpoint carries both parts
+            full = load_params(self.flags.model_loc)
+            if not (isinstance(full, dict) and "layer_model" in full):
+                raise ValueError(
+                    "No layer model: set config['layer_model'] or use a "
+                    "composite checkpoint"
+                )
+            layer = full["layer_model"]
+
+        self.params = {"base_model": base, "layer_model": layer}
+        return self.model, self.params
+
     def init_model(self):
         self.model = LayerDiffusion(
             self.config, n_steps=self.config["NSTEPS"],

@@ -5,8 +5,11 @@ the latency (attention, cylindrical wrap, conditioning images, precision).
 Usage: python scripts/profile_step.py [batch]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
