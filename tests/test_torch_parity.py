@@ -1,0 +1,122 @@
+"""Golden end-to-end U-Net parity: import the *actual* reference PyTorch
+model's random weights via tools/torch_import.py and require that our
+denoise() reproduces the reference denoise() numerically.
+
+This is the strongest parity statement available without trained weights:
+identical architecture, conditioning, scalings, and weight semantics.
+Skipped when the reference checkout is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE_ROOT, "calodiffusion")),
+    reason="reference checkout not available",
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _load_reference():
+    from bench_baselines.reference_torch import _stub_missing_modules
+
+    _stub_missing_modules()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from calodiffusion.models.calodiffusion import CaloDiffusion as RefModel
+
+    return RefModel
+
+
+def _tiny_cfg():
+    from tests.utils_test import tiny_ds2_config
+
+    return tiny_ds2_config(
+        LAYER_SIZE_UNET=[16, 16, 32, 16],
+        COND_SIZE_UNET=32,
+        BLOCK_ATTN=True,
+        MID_ATTN=True,
+        PRECISION="f32",
+    )
+
+
+@pytest.fixture(scope="module")
+def parity_pair():
+    RefModel = _load_reference()
+    torch.manual_seed(0)
+    cfg = _tiny_cfg()
+    ref = RefModel(dict(cfg), n_steps=10, loss_type="l2")
+    ref.eval()
+
+    import jax
+
+    from calodiffusion_tpu.models.diffusion import CaloDiffusion
+    from calodiffusion_tpu.tools.torch_import import torch_state_dict_to_params
+
+    mine = CaloDiffusion(dict(cfg), n_steps=10, loss_type="l2")
+    params = mine.init(jax.random.PRNGKey(0))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = torch_state_dict_to_params(sd, mine, params)
+    return ref, mine, params
+
+
+def test_denoise_matches_reference(parity_pair):
+    import jax.numpy as jnp
+
+    ref, mine, params = parity_pair
+    rng = np.random.default_rng(0)
+    batch = 4
+    x = rng.standard_normal((batch, 1, 45, 16, 9)).astype(np.float32)
+    E = rng.uniform(0.1, 1.0, (batch, 1)).astype(np.float32)
+    layers = rng.standard_normal((batch, 46)).astype(np.float32)
+
+    for sigma_val in (0.05, 0.7, 5.0):
+        sigma = np.full((batch, 1, 1, 1, 1), sigma_val, np.float32)
+        with torch.no_grad():
+            ref_out = ref.denoise(
+                torch.tensor(x), E=torch.tensor(E),
+                sigma=torch.tensor(sigma), layers=torch.tensor(layers),
+            ).numpy()
+        my_out = np.asarray(mine.denoise(
+            params, jnp.asarray(x), E=jnp.asarray(E),
+            sigma=jnp.asarray(sigma), layers=jnp.asarray(layers),
+        ))
+        np.testing.assert_allclose(
+            my_out, ref_out, atol=2e-4, rtol=2e-3,
+            err_msg=f"denoise mismatch at sigma={sigma_val}",
+        )
+
+
+def test_loss_matches_reference(parity_pair):
+    """hybrid_weight training loss computed on identical (x, E, noise,
+    rnd_normal) must match."""
+    import jax
+    import jax.numpy as jnp
+
+    ref, mine, params = parity_pair
+    rng = np.random.default_rng(1)
+    batch = 4
+    x = rng.standard_normal((batch, 1, 45, 16, 9)).astype(np.float32)
+    E = rng.uniform(0.1, 1.0, (batch, 1)).astype(np.float32)
+    layers = rng.standard_normal((batch, 46)).astype(np.float32)
+    noise = rng.standard_normal(x.shape).astype(np.float32)
+    rnd_normal = rng.standard_normal((batch,)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_loss = float(ref.compute_loss(
+            data=torch.tensor(x), energy=torch.tensor(E),
+            noise=torch.tensor(noise), layers=torch.tensor(layers),
+            rnd_normal=torch.tensor(rnd_normal),
+        ))
+    my_loss = float(mine.compute_loss(
+        params, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(E),
+        noise=jnp.asarray(noise), layers=jnp.asarray(layers),
+        rnd_normal=jnp.asarray(rnd_normal),
+    ))
+    np.testing.assert_allclose(my_loss, ref_loss, rtol=1e-3)
