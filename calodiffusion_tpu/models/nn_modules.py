@@ -315,6 +315,8 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from calodiffusion_tpu.ops.pallas_attention import blockwise_attention
+
         b, zz, aa, rr, c = x.shape
         hidden = self.heads * self.dim_head
         qkv = Conv3d(
@@ -323,20 +325,17 @@ class Attention(nn.Module):
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads_first(t):
-            # (b, z, a, r, h*d) -> (b, h, d, N); channel index = h*dim_head + d
+        def to_heads(t):
+            # (b, z, a, r, h*d) -> (b, h, N, d); channel index = h*dim_head + d
             t = t.reshape(b, zz * aa * rr, self.heads, self.dim_head)
-            return t.transpose(0, 2, 3, 1)
+            return t.transpose(0, 2, 1, 3)
 
-        q, k, v = map(heads_first, (q, k, v))
-        q = q * (self.dim_head ** -0.5)
-        sim = jnp.einsum("bhdi,bhdj->bhij", q, k, preferred_element_type=jnp.float32)
-        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhij,bhdj->bhid", attn, v)
+        q, k, v = map(to_heads, (q, k, v))
+        # dense for small grids / CPU; Pallas streaming kernel for full-res
+        # grids (dataset-3: N = 40.5k voxels)
+        out = blockwise_attention(q, k, v)
         # (b, h, N, d) -> (b, z, a, r, h*d)
-        out = out.transpose(0, 1, 3, 2).reshape(b, hidden, zz * aa * rr)
-        out = out.transpose(0, 2, 1).reshape(b, zz, aa, rr, hidden)
+        out = out.transpose(0, 2, 1, 3).reshape(b, zz, aa, rr, hidden)
         return Conv3d(
             c, kernel_size=1, cylindrical=self.cylindrical, dtype=self.dtype
         )(out)
