@@ -86,6 +86,54 @@ class HighLevelFeatures:
     def GetWidthPhis(self):
         return self.width_phis
 
+    # -- shower drawing (reference HighLevelFeatures.py:91-301) --------------
+    def DrawSingleShower(self, data, filename=None, title=None,
+                         vmax=5506, vmin=1e-3):
+        """Polar per-layer heatmaps of one shower over the binning geometry."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.colors import LogNorm
+
+        data = np.asarray(data).reshape(-1)
+        n_lay = len(self.relevantLayers)
+        ncols = min(n_lay, 5)
+        nrows = -(-n_lay // ncols)
+        fig = plt.figure(figsize=(2 * ncols, 2 * nrows + 1), dpi=150)
+        num_splits = 400
+        layer_boundaries = np.unique(self.bin_edges)
+        max_r = max(r[-1] for r in self.r_edges)
+
+        pcm = None
+        for idx, layer in enumerate(self.relevantLayers):
+            radii = np.array(self.r_edges[idx], dtype=float)
+            theta, rad = np.meshgrid(
+                2.0 * np.pi * np.arange(num_splits + 1) / num_splits, radii
+            )
+            pts = int(num_splits / self.num_alpha[idx])
+            seg = data[layer_boundaries[idx]: layer_boundaries[idx + 1]]
+            seg = seg.reshape(int(self.num_alpha[idx]), -1)
+            seg = np.repeat(seg, pts, axis=0)
+            ax = plt.subplot(nrows, ncols, idx + 1, polar=True)
+            ax.grid(False)
+            pcm = ax.pcolormesh(
+                theta, rad, seg.T + 1e-16, norm=LogNorm(vmin=vmin, vmax=vmax)
+            )
+            ax.axes.get_xaxis().set_visible(False)
+            ax.axes.get_yaxis().set_visible(False)
+            ax.set_rmax(max_r)
+            ax.set_title(f"Layer {layer}", fontsize=8)
+        if pcm is not None:
+            fig.colorbar(pcm, ax=fig.get_axes(), orientation="horizontal",
+                         fraction=0.05, label="Energy (GeV)")
+        if title:
+            fig.suptitle(title)
+        if filename:
+            fig.savefig(filename, facecolor="white")
+        plt.close(fig)
+        return fig
+
     def feature_matrix(self, energies: np.ndarray) -> np.ndarray:
         """Flat (N, F) feature array: [log10 E_inc, log10 E_layers,
         EC_eta/1e2, EC_phi/1e2, width_eta/1e2, width_phi/1e2]
