@@ -124,6 +124,19 @@ def _import_cond_mlp(params, sd, torch_base, flax_path, embed: bool):
                            flax_path + [f"Dense_{j}"])
 
 
+def load_torch_checkpoint(path: str, model, params) -> Any:
+    """Load a reference ``.pth`` checkpoint file and translate it.
+
+    Handles both bare state_dicts and full training checkpoints with
+    ``model_state_dict`` (reference train/train.py:81-84)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return torch_state_dict_to_params(sd, model, params)
+
+
 def strip_model_prefix(state_dict: dict) -> dict:
     """Reference checkpoints may prefix everything with 'model.' (or another
     wrapper name; reference calodiffusion.py:31-37)."""
