@@ -326,16 +326,24 @@ class CaloDiffusion:
         jitted = jax.jit(
             lambda p, k, E, lay: self.sample(
                 p, k, E, layers=lay, num_steps=sample_steps,
-                sample_offset=sample_offset, sampler=sampler,
+                sample_offset=sample_offset, sampler=sampler, debug=debug,
             )
         )
 
-        generated, energies, layers_all = [], [], []
+        generated, energies, layers_all, data_batches = [], [], [], []
         for i, (E, layers_, d_batch) in enumerate(data_loader):
             key, sub = jax.random.split(key)
             E = jnp.asarray(E)
             lay = jnp.asarray(layers_) if self.layer_cond else None
             out = jitted(params, sub, E, lay)
+            if debug:
+                x, xs, x0s = out
+                data_batches.append(np.asarray(d_batch))
+                if i == 0 and xs is not None:
+                    self._debug_sample_plot(
+                        np.asarray(xs), np.asarray(x0s), np.asarray(d_batch)
+                    )
+                out = x
             generated.append(np.asarray(out))
             energies.append(np.asarray(E))
             if self.layer_cond:
@@ -373,6 +381,36 @@ class CaloDiffusion:
             generated = generated.reshape(c["SHAPE_ORIG"])
         energies = np.reshape(energies, (energies.shape[0], -1))
         return generated, energies
+
+    def _debug_sample_plot(self, xs, x0s, data_batch,
+                           plot_folder: str = "./plots/"):
+        """Histogram the normalized-voxel distribution at checkpoints along
+        the reverse trajectory vs Geant (reference diffusion.py:199-235)."""
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(plot_folder, exist_ok=True)
+        n = xs.shape[0]
+        steps = sorted(set([0, n // 4, n // 2, 3 * n // 4, 9 * n // 10,
+                            max(n - 10, 0), max(n - 5, 0), n - 1]))
+        name = self.config.get("CHECKPOINT_NAME", "debug")
+        for j in steps:
+            for tag, arr in (("gen", xs[j]), ("x0", x0s[j])):
+                fig = plt.figure(figsize=(8, 6))
+                plt.hist(arr.reshape(-1), bins=40, density=True,
+                         histtype="step", color="blue", label="Diffu")
+                plt.hist(data_batch.reshape(-1), bins=40, density=True,
+                         histtype="step", color="black", label="Geant4")
+                plt.xlabel("Normalized Voxel Energy")
+                plt.legend()
+                fig.savefig(os.path.join(
+                    plot_folder, f"{name}_norm_voxels_{tag}_step{j}.png"
+                ))
+                plt.close(fig)
 
     def __call__(self, params, x, **kwargs):
         return self.denoise(params, x, **kwargs)

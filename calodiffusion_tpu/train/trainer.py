@@ -258,7 +258,10 @@ class TrainDiffusion(Train):
         epoch = start_epoch
         for epoch in range(start_epoch, num_epochs):
             print(f"Beginning epoch {epoch}", flush=True)
-            train_loss, n_batches = 0.0, 0
+            # losses stay on device during the epoch: a float() per step
+            # would force a host sync per batch (very expensive over remote
+            # TPU links); fetch once per epoch instead
+            epoch_losses = []
             with trace(trace_dir if epoch == start_epoch + 1 else None):
                 for E, layers, data in self.loader_train:
                     self.rng, k = jax.random.split(self.rng)
@@ -270,14 +273,16 @@ class TrainDiffusion(Train):
                             self.params, self.opt_state, self.ema_params, k,
                             data_d, E_d, lay_d if layer_cond else None,
                         )
-                        train_loss += float(loss)
-                    n_batches += 1
-            train_loss /= max(n_batches, 1)
+                        epoch_losses.append(loss)
+            train_loss = (
+                float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
+            )
             training_losses[epoch] = train_loss
             print(f"loss: {train_loss}")
 
-            val_loss, n_vb = 0.0, 0
+            val_loss = 0.0
             if self.loader_val is not None:
+                val_losses_dev = []
                 for i, (vE, vlayers, vdata) in enumerate(self.loader_val):
                     if i >= val_rnd.shape[0]:
                         break
@@ -291,13 +296,14 @@ class TrainDiffusion(Train):
                         [(0, vdata_d.shape[0] - noise.shape[0])]
                         + [(0, 0)] * (noise.ndim - 1),
                     )
-                    loss = val_step(
+                    val_losses_dev.append(val_step(
                         self.params, vdata_d, vE_d,
                         vlay_d if layer_cond else None, noise, rnd,
-                    )
-                    val_loss += float(loss)
-                    n_vb += 1
-                val_loss /= max(n_vb, 1)
+                    ))
+                val_loss = (
+                    float(jnp.mean(jnp.stack(val_losses_dev)))
+                    if val_losses_dev else 0.0
+                )
                 val_losses[epoch] = val_loss
                 print(f"val_loss: {val_loss}", flush=True)
 

@@ -1,0 +1,120 @@
+"""Physics-fidelity convergence check on the real TPU.
+
+Trains the full dataset-2 U-Net on structured synthetic showers (energy-
+dependent longitudinal/radial profiles), generates with 400-step DDIM, and
+reports separation powers between generated and 'Geant' distributions -
+the same gate the evaluation suite applies to real data.
+
+Run: python scripts/tpu_fidelity_check.py [epochs]
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import h5py
+import numpy as np
+
+
+def synth_showers(n, rng):
+    """Energy-dependent synthetic ds2 showers in raw MeV-like units."""
+    e_inc = 10 ** rng.uniform(3, 6, (n, 1)).astype(np.float32)  # 1 GeV..1 TeV
+    z = np.arange(45, dtype=np.float32)[None, :, None, None]
+    a = np.arange(16, dtype=np.float32)[None, None, :, None]
+    r = np.arange(9, dtype=np.float32)[None, None, None, :]
+    # shower max depth grows with log E; radial spread fixed-ish
+    t_max = 8 + 3 * (np.log10(e_inc) - 3)[:, :, None, None]
+    prof_z = np.exp(-0.5 * ((z - t_max) / 6.0) ** 2)
+    prof_r = np.exp(-r / 1.5)
+    base = prof_z * prof_r / 16.0
+    shower = base * rng.gamma(2.0, 1.0, (n, 45, 16, 9)).astype(np.float32)
+    shower *= 0.5 * e_inc[:, :, None, None] / base.sum(
+        axis=(1, 2, 3), keepdims=True
+    )
+    shower[rng.uniform(size=shower.shape) < 0.3] = 0
+    return shower.reshape(n, -1).astype(np.float32), e_inc
+
+
+def main():
+    import jax
+
+    from calodiffusion_tpu.data.loader import load_data
+    from calodiffusion_tpu.evaluation.metrics_utils import separation_power
+    from calodiffusion_tpu.train.trainer import TrainDiffusion
+    from calodiffusion_tpu.utils.config import default_flags
+    from tests.utils_test import tiny_ds2_config
+
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    for fname, n in (("dataset_2_1.hdf5", 8192), ("dataset_2_2.hdf5", 2048)):
+        showers, e_inc = synth_showers(n, rng)
+        with h5py.File(os.path.join(tmp, fname), "w") as f:
+            f.create_dataset("showers", data=showers)
+            f.create_dataset("incident_energies", data=e_inc)
+
+    cfg = tiny_ds2_config(
+        VAL_FILES=["dataset_2_2.hdf5"], EVAL=["dataset_2_2.hdf5"],
+        BATCH=128, MAXEPOCH=epochs, NSTEPS=400,
+        LAYER_SIZE_UNET=[32, 32, 64, 32], COND_SIZE_UNET=128,
+        BLOCK_ATTN=True, MID_ATTN=True, PRECISION="bf16",
+        CHECKPOINT_NAME="fidelity",
+    )
+    flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt")
+    trainer = TrainDiffusion(flags, cfg)
+    t0 = time.time()
+    model, params = trainer.train()
+    print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
+
+    eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg, eval=True)
+    gen, en = model.generate(params, jax.random.PRNGKey(0), eval_loader,
+                             sample_steps=400)
+    with h5py.File(os.path.join(tmp, "dataset_2_2.hdf5"), "r") as f:
+        ref = f["showers"][:] * 0.001  # SHOWERSCALE
+        ref_e = f["incident_energies"][:] * 0.001
+    gen = gen * 1.0  # already physical (GeV-scaled by ReverseNorm)
+
+    seps = {}
+    # total energy
+    ref_tot, gen_tot = ref.sum(-1), gen.sum(-1)
+    binning = np.geomspace(
+        max(min(ref_tot.min(), gen_tot.min()), 1e-3),
+        max(ref_tot.max(), gen_tot.max()), 30,
+    )
+    h1, _ = np.histogram(ref_tot, bins=binning, density=True)
+    h2, _ = np.histogram(gen_tot, bins=binning, density=True)
+    seps["Etot"] = separation_power(h2, h1, binning)
+
+    # energy ratio (dep / inc)
+    binning = np.linspace(0, 1.2, 30)
+    h1, _ = np.histogram(ref_tot / ref_e[:, 0], bins=binning, density=True)
+    h2, _ = np.histogram(gen_tot / en[:, 0], bins=binning, density=True)
+    seps["ERatio"] = separation_power(h2, h1, binning)
+
+    # longitudinal profile (fraction per layer), averaged shape distance
+    ref_l = ref.reshape(-1, 45, 144).sum(-1)
+    gen_l = gen.reshape(-1, 45, 144).sum(-1)
+    ref_frac = (ref_l / ref_l.sum(1, keepdims=True)).mean(0)
+    gen_frac = (gen_l / np.maximum(gen_l.sum(1, keepdims=True), 1e-8)).mean(0)
+    seps["layer_profile_L1"] = float(np.abs(ref_frac - gen_frac).sum())
+
+    # sparsity
+    binning = np.linspace(0, 1, 21)
+    h1, _ = np.histogram((ref > 1e-5).mean(-1), bins=binning, density=True)
+    h2, _ = np.histogram((gen > 1e-5).mean(-1), bins=binning, density=True)
+    seps["sparsity"] = separation_power(h2, h1, binning)
+
+    for k, v in seps.items():
+        print(f"separation[{k}] = {v:.4f}", flush=True)
+
+    ok = seps["Etot"] < 0.1 and seps["ERatio"] < 0.1 and \
+        seps["layer_profile_L1"] < 0.15
+    print("FIDELITY", "OK" if ok else "NEEDS MORE TRAINING")
+
+
+if __name__ == "__main__":
+    main()
