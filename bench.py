@@ -22,6 +22,10 @@ def log(*args):
 
 def measure_ours(batch: int, num_steps: int, runs: int = 3) -> float:
     import jax
+
+    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from calodiffusion_tpu.models.diffusion import CaloDiffusion

@@ -41,6 +41,9 @@ from calodiffusion_tpu.utils.config import LoadJson, dotdict
 @click.pass_context
 def inference(ctx, debug, config, data_folder, checkpoint_folder, layer_only,
               job_idx, n_events, reclean, hgcal, seed):
+    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
     ctx.ensure_object(dotdict)
     ctx.obj.config = LoadJson(config) if config is not None else {}
     ctx.obj.checkpoint_folder = checkpoint_folder

@@ -35,6 +35,9 @@ from calodiffusion_tpu.utils.config import LoadJson, dotdict
 @click.pass_context
 def train(ctx, config, data_folder, checkpoint_folder, nevts, frac, load,
           seed, reclean, reset_training, model_loc, hgcal):
+    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
     ctx.ensure_object(dotdict)
     ctx.obj.config = LoadJson(config)
     ctx.obj.data_folder = data_folder

@@ -41,6 +41,10 @@ def synth_showers(n, rng):
 def main():
     import jax
 
+    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
+
     from calodiffusion_tpu.data.loader import load_data
     from calodiffusion_tpu.evaluation.metrics_utils import separation_power
     from calodiffusion_tpu.train.trainer import TrainDiffusion

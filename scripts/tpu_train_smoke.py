@@ -16,6 +16,10 @@ import numpy as np
 def main():
     import jax
 
+    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
+
     from calodiffusion_tpu.data.loader import load_data
     from calodiffusion_tpu.train.trainer import TrainDiffusion
     from calodiffusion_tpu.utils.config import default_flags
