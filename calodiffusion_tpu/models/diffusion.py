@@ -61,7 +61,11 @@ class CaloDiffusionNet(nn.Module):
             x_flat = x.reshape(x.shape[0], -1)
             x = embed.enc(x_flat)[:, :, :, :, None]  # (B, Z, A, R, 1)
         elif self.hgcal_converter is not None:
-            embed = self.hgcal_converter.clone(name="NN_embed")
+            from calodiffusion_tpu.models.hgcal_converter import (
+                HGCalConverterModule,
+            )
+
+            embed = HGCalConverterModule(**self.hgcal_converter, name="NN_embed")
             x = embed.enc(x)[..., None]  # (B, Z, A, R, 1)
         else:
             # (B, 1, Z, A, R) -> channels-last
@@ -144,10 +148,10 @@ class CaloDiffusion:
             nn_embed_gc = GeomConverter(bins)
         elif self.hgcal and not self.pre_embed:
             from calodiffusion_tpu.models.hgcal_converter import (
-                build_hgcal_converter_module,
+                build_hgcal_converter_kwargs,
             )
 
-            hgcal_converter = build_hgcal_converter_module(c)
+            hgcal_converter = build_hgcal_converter_kwargs(c)
 
         # network sizing (reference calodiffusion.py:39-81)
         if self.fully_connected:

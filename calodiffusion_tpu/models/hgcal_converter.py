@@ -79,7 +79,10 @@ class HGCalConverterModule(nn.Module):
         return self.enc(x)
 
 
-def build_hgcal_converter_module(config: dict) -> HGCalConverterModule:
+def build_hgcal_converter_kwargs(config: dict) -> dict:
+    """Constructor kwargs for HGCalConverterModule (the module itself must be
+    instantiated inside the parent flax module's compact context so it binds
+    to the parent scope)."""
     conv = hgcal_utils.HGCalConverter(
         bins=config["SHAPE_FINAL"],
         geom_file=config.get("BIN_FILE", ""),
@@ -90,7 +93,7 @@ def build_hgcal_converter_module(config: dict) -> HGCalConverterModule:
     # (reference calodiffusion.py:113-117: init(norm=pre_embed) -> norm=False
     # for the in-model path, matrices geometric)
     conv.init(norm=False, dataset_num=config.get("DATASET_NUM", 101))
-    return HGCalConverterModule(
+    return dict(
         enc_init=conv.enc_mat,
         dec_init=conv.dec_mat,
         enc_mask=conv.enc_mask,

@@ -277,6 +277,7 @@ class TrainDiffusion(Train):
             train_loss = (
                 float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
             )
+            print(f"epoch phases: {timer.summary()}", flush=True)
             training_losses[epoch] = train_loss
             print(f"loss: {train_loss}")
 
