@@ -60,6 +60,7 @@ class Train:
                 )
 
         self.model: Optional[CaloDiffusion] = None
+        self._device_cache = None
         self.params = None
         self.ema_params = None
         self.opt = None
@@ -237,6 +238,39 @@ class TrainDiffusion(Train):
         put = lambda a: jax.device_put(jnp.asarray(a), sh)
         return put(E), put(layers), put(data)
 
+    def _epoch_batches(self, timer):
+        """Yield device-resident training batches.
+
+        With ``CACHE_DATA_ON_DEVICE`` (default on when the cached arrays fit
+        comfortably in HBM) the dataset is uploaded once and reused across
+        epochs - on remote-TPU links the per-epoch re-upload otherwise
+        dominates wall-clock.
+        """
+        cache_cfg = self.config.get("CACHE_DATA_ON_DEVICE", "auto")
+        if self._device_cache is not None:
+            for batch in self._device_cache:
+                yield batch
+            return
+
+        collect = cache_cfg is True or cache_cfg == "auto"
+        cached = []
+        total_bytes = 0
+        for E, layers, data in self.loader_train:
+            with timer.phase("h2d"):
+                batch = self._device_batch(E, layers, data)
+            if collect:
+                total_bytes += sum(
+                    np.asarray(a).nbytes for a in (E, layers, data)
+                )
+                if cache_cfg == "auto" and total_bytes > 4 * 2**30:
+                    collect = False  # too large: stream every epoch
+                    cached = []
+                else:
+                    cached.append(batch)
+            yield batch
+        if collect and cached:
+            self._device_cache = cached
+
     def training_loop(self, scheduler, early_stopper, start_epoch, num_epochs,
                       training_losses, val_losses):
         train_step, val_step = self._make_train_step()
@@ -263,10 +297,8 @@ class TrainDiffusion(Train):
             # TPU links); fetch once per epoch instead
             epoch_losses = []
             with trace(trace_dir if epoch == start_epoch + 1 else None):
-                for E, layers, data in self.loader_train:
+                for E_d, lay_d, data_d in self._epoch_batches(timer):
                     self.rng, k = jax.random.split(self.rng)
-                    with timer.phase("h2d"):
-                        E_d, lay_d, data_d = self._device_batch(E, layers, data)
                     with timer.phase("step"):
                         (self.params, self.opt_state, self.ema_params,
                          loss) = train_step(

@@ -93,10 +93,14 @@ def main():
     h2, _ = np.histogram(gen_tot, bins=binning, density=True)
     seps["Etot"] = separation_power(h2, h1, binning)
 
-    # energy ratio (dep / inc)
-    binning = np.linspace(0, 1.2, 30)
-    h1, _ = np.histogram(ref_tot / ref_e[:, 0], bins=binning, density=True)
-    h2, _ = np.histogram(gen_tot / en[:, 0], bins=binning, density=True)
+    # energy ratio (dep / inc), binned over the observed range
+    ref_ratio = ref_tot / ref_e[:, 0]
+    gen_ratio = gen_tot / en[:, 0]
+    lo = min(np.quantile(ref_ratio, 0.001), np.quantile(gen_ratio, 0.001))
+    hi = max(np.quantile(ref_ratio, 0.999), np.quantile(gen_ratio, 0.999))
+    binning = np.linspace(lo, hi, 30)
+    h1, _ = np.histogram(ref_ratio, bins=binning, density=True)
+    h2, _ = np.histogram(gen_ratio, bins=binning, density=True)
     seps["ERatio"] = separation_power(h2, h1, binning)
 
     # longitudinal profile (fraction per layer), averaged shape distance
