@@ -6,13 +6,19 @@ models.py:264-278).  That is fine at U-Net-interior resolutions (N ~ 2-3k)
 but O(N^2) memory at full-resolution dataset-3 (N = 45*50*18 = 40.5k:
 a 1.6G-element score tensor per head).  This kernel computes the same
 softmax attention with online (streaming) normalization, never
-materializing scores beyond a (BQ x BK) tile in VMEM.
+materializing scores beyond a (BQ x BK) tile.
+
+TPU mapping: the grid is (batch*heads, q_blocks, kv_blocks) with the KV
+index innermost - TPU grids execute sequentially, so the running max /
+denominator / accumulator live in VMEM scratch that persists across KV
+steps, and Pallas double-buffers the KV block HBM->VMEM copies
+automatically.  Padded KV rows are masked to -inf before the softmax.
 
 Math matches the reference exactly: scores = (q * D^-0.5) @ k^T, softmax
 with running-max subtraction, out = attn @ v.
 
-On non-TPU backends (tests run on CPU) the public entry point falls back to
-the dense jnp formulation - same numerics, no Pallas.
+On non-TPU backends (tests run on CPU) the kernel runs in interpret mode;
+small grids use the dense jnp formulation.
 """
 
 from __future__ import annotations
@@ -26,33 +32,39 @@ from jax.experimental import pallas as pl
 NEG_INF = -1e30
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    """One (batch*head, q-block) program; streams over KV blocks."""
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                      block_k: int, scale: float, n_valid: int):
+    """Program (bh, qi, ki): one KV block against one Q block."""
+    ki = pl.program_id(2)
+    n_kv_blocks = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     q = q_ref[...].astype(jnp.float32) * scale          # (BQ, D)
-    n_kv = k_ref.shape[0]
-    num_blocks = n_kv // block_k
+    k = k_ref[...].astype(jnp.float32)                  # (BK, D)
+    v = v_ref[...].astype(jnp.float32)
 
-    bq, d = q.shape
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)        # running max
-    l0 = jnp.zeros((bq, 1), jnp.float32)                # running denom
-    acc0 = jnp.zeros((bq, d), jnp.float32)              # running numerator
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < n_valid, s, NEG_INF)
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc_new
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * alpha + p.sum(axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
 
-    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
-    o_ref[...] = (acc / l).astype(o_ref.dtype)
+    @pl.when(ki == n_kv_blocks - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
 def _dense_attention(q, k, v, scale):
@@ -89,32 +101,39 @@ def blockwise_attention(q, k, v, block_q: int = 512, block_k: int = 512,
     if not force and (not on_tpu or n <= 2048):
         return _dense_attention(q, k, v, scale)
 
-    # Q rows pad freely (cropped after); KV padding would corrupt the
-    # softmax, so pick the largest block_k that divides N instead.
-    for cand in (block_k, 512, 256, 128, 64, 32, 16, 8, 5, 4, 3, 2, 1):
-        if n % cand == 0:
-            block_k = cand
-            break
+    # Q rows pad freely (cropped after); padded KV rows are masked to -inf
+    # inside the kernel.
     q_p, n_q = _pad_to(q, 2, block_q)
+    k_p, _ = _pad_to(k, 2, block_k)
+    v_p, _ = _pad_to(v, 2, block_k)
 
     qq = q_p.reshape(b * h, q_p.shape[2], d)
-    kk = k.reshape(b * h, n, d)
-    vv = v.reshape(b * h, n, d)
+    kk = k_p.reshape(b * h, k_p.shape[2], d)
+    vv = v_p.reshape(b * h, v_p.shape[2], d)
 
     n_q_pad = qq.shape[1]
-    grid = (b * h, n_q_pad // block_q)
+    n_kv_pad = kk.shape[1]
+    grid = (b * h, n_q_pad // block_q, n_kv_pad // block_k)
+
+    from jax.experimental.pallas import tpu as pltpu
 
     out = pl.pallas_call(
-        functools.partial(_attention_kernel, block_k=block_k, scale=scale),
+        functools.partial(_attention_kernel, block_k=block_k, scale=scale,
+                          n_valid=n),
         grid=grid,
         interpret=not on_tpu,  # CPU tests exercise the kernel in interpret mode
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((None, n, d), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((None, n, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, i: (bh, i, 0)),
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_q_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, d), jnp.float32),   # running numerator
+        ],
     )(qq, kk, vv)
 
     out = out[:, :n_q, :].reshape(b, h, n_q, d)

@@ -26,15 +26,30 @@ from jax.experimental import pallas as pl
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
                     eps: float, apply_silu: bool):
+    """Group statistics via one-hot matmuls: Mosaic dislikes splitting the
+    lane (channel) dimension with reshapes, so the per-group reductions are
+    expressed as (S, C) @ (C, G) contractions instead."""
     x = x_ref[...].astype(jnp.float32)           # (S, C) one sample
     s, c = x.shape
     cg = c // groups
-    xg = x.reshape(s, groups, cg)
-    mean = xg.mean(axis=(0, 2), keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=(0, 2), keepdims=True)
-    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(s, c)
-    y = xn * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(
+    denom = float(s * cg)
+
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    onehot = (ch // cg == grp).astype(jnp.float32)      # (C, G)
+
+    sums = jnp.dot(x, onehot, preferred_element_type=jnp.float32)    # (S, G)
+    sq_sums = jnp.dot(x * x, onehot, preferred_element_type=jnp.float32)
+    mean_g = sums.sum(axis=0, keepdims=True) / denom                  # (1, G)
+    var_g = sq_sums.sum(axis=0, keepdims=True) / denom - mean_g**2
+
+    # broadcast per-group stats back to channels: (1, G) @ (G, C)
+    mean_c = jnp.dot(mean_g, onehot.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(jax.lax.rsqrt(var_g + eps), onehot.T,
+                    preferred_element_type=jnp.float32)
+
+    y = (x - mean_c) * inv_c
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(
         jnp.float32
     )
     if apply_silu:
