@@ -19,16 +19,17 @@ from tests.utils_test import tiny_ds2_config
 def test_optimize_single_trial(tmp_path):
     rng = np.random.default_rng(0)
     n = 32
-    showers = rng.exponential(1.0, (n, 6480)).astype(np.float32)
-    with h5py.File(tmp_path / "dataset_2_1.hdf5", "w") as f:
-        f.create_dataset("showers", data=showers)
-        f.create_dataset(
-            "incident_energies",
-            data=rng.uniform(1e3, 1e6, (n, 1)).astype(np.float32),
-        )
+    for fname in ("dataset_2_1.hdf5", "dataset_2_2.hdf5"):
+        showers = rng.exponential(1.0, (n, 6480)).astype(np.float32)
+        with h5py.File(tmp_path / fname, "w") as f:
+            f.create_dataset("showers", data=showers)
+            f.create_dataset(
+                "incident_energies",
+                data=rng.uniform(1e3, 1e6, (n, 1)).astype(np.float32),
+            )
 
     cfg = tiny_ds2_config(
-        VAL_FILES=["dataset_2_1.hdf5"],
+        VAL_FILES=["dataset_2_2.hdf5"],
         BATCH=16, MAXEPOCH=1, NSTEPS=2,
         LAYER_SIZE_UNET=[8, 8, 8, 8], COND_SIZE_UNET=16,
         CHECKPOINT_NAME="opt_test",
