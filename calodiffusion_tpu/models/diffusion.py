@@ -184,6 +184,7 @@ class CaloDiffusion:
                 cond_embed=(c.get("COND_EMBED", "sin") == "sin"),
                 cond_size=cond_size,
                 time_embed=(c.get("TIME_EMBED", "sin") == "sin"),
+                remat=c.get("REMAT", False),
             )
         self.cond_size = unet_kwargs.get("cond_size", 1)
 

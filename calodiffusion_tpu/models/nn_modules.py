@@ -429,19 +429,29 @@ class CondUnet(nn.Module):
     cond_embed: bool = True
     cond_size: int = 1
     no_time: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def _block(self, features):
         if self.use_convnext:
-            return ConvNextBlock(
-                features, cond_emb_dim=self.cond_dim, mult=self.convnext_mult,
-                cylindrical=self.cylindrical, dtype=self.dtype,
+            klass = ConvNextBlock
+            kwargs = dict(
+                features=features, cond_emb_dim=self.cond_dim,
+                mult=self.convnext_mult, cylindrical=self.cylindrical,
+                dtype=self.dtype,
             )
-        return ResnetBlock(
-            features, cond_emb_dim=self.cond_dim,
-            groups=self.resnet_block_groups, cylindrical=self.cylindrical,
-            dtype=self.dtype,
-        )
+        else:
+            klass = ResnetBlock
+            kwargs = dict(
+                features=features, cond_emb_dim=self.cond_dim,
+                groups=self.resnet_block_groups, cylindrical=self.cylindrical,
+                dtype=self.dtype,
+            )
+        if self.remat:
+            # rematerialize block activations in backward: trades FLOPs for
+            # HBM so larger batches / deeper nets fit
+            klass = nn.remat(klass)
+        return klass(**kwargs)
 
     @staticmethod
     def compute_extra_upsamples(data_shape, num_resolutions, compress_Z):
