@@ -142,6 +142,10 @@ class GroupNorm(nn.Module):
             raise ValueError(f"channels {c} not divisible by {self.num_groups} groups")
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        import os
+
+        if os.environ.get("CALODIF_GN_IDENTITY"):  # profiling escape hatch
+            return x * scale + bias
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
         spatial = xf.shape[1:-1]
