@@ -239,10 +239,6 @@ def process_data_dict(flags, config):
 
 def LoadSamples(fp, flags, config, NN_embed=None):
     """Load one generated/reference h5 (reference :257-297)."""
-    from calodiffusion_tpu.utils.preprocessing import (  # noqa: F401
-        create_R_Z_image,
-    )
-
     end = None if flags.nevts < 0 else flags.nevts
     shower_scale = config.get("SHOWERSCALE", 0.001)
 

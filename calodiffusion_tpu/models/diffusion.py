@@ -13,7 +13,6 @@ while everything inside the network is channels-last for the MXU.
 
 from __future__ import annotations
 
-import copy
 from typing import Any, Optional
 
 import jax

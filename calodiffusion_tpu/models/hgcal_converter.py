@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from calodiffusion_tpu.utils import hgcal_utils

@@ -24,7 +24,6 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from calodiffusion_tpu.ops.conv import (

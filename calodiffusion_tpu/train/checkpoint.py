@@ -18,8 +18,6 @@ import json
 import os
 from typing import Any
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 
