@@ -92,6 +92,28 @@ def test_pad_batch_to_multiple():
     assert n_real == 5
 
 
+def test_sharded_sampling(small_model):
+    """The full reverse-diffusion scan runs SPMD over the data axis."""
+    cfg, model, params = small_model
+    mesh = mesh_lib.make_mesh()
+    sh = mesh_lib.batch_sharding(mesh)
+    params_r = mesh_lib.replicate(mesh, params)
+
+    _, E, layers = fake_batch(cfg, batch=8)
+    E_s = jax.device_put(jnp.asarray(E), sh)
+    lay_s = jax.device_put(jnp.asarray(layers), sh)
+
+    sampler = model.make_sampler()
+    out = jax.jit(
+        lambda p, e, l: model.sample(p, jax.random.PRNGKey(0), e, layers=l,
+                                     num_steps=4, sampler=sampler)
+    )(params_r, E_s, lay_s)
+    assert out.shape == (8, 1, 45, 16, 9)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # the generated batch stays sharded over all devices
+    assert len(out.sharding.device_set) == 8
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
