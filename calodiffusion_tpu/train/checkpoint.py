@@ -21,6 +21,10 @@ from typing import Any
 import orbax.checkpoint as ocp
 
 
+class CheckpointMissingError(ValueError):
+    """No checkpoint exists at the requested location."""
+
+
 def _abspath(p: str) -> str:
     return os.path.abspath(os.path.expanduser(p))
 
@@ -90,10 +94,14 @@ def save_checkpoint(
 
 def load_checkpoint(folder: str, name: str, abstract_arrays: Any | None = None):
     """Returns (arrays, host_state).  ``arrays`` has keys params[/opt_state,
-    ema_params]."""
+    ema_params].
+
+    Pass ``abstract_arrays`` (a pytree of like-structured arrays) to restore
+    exact container types: orbax alone returns plain nested dicts, which
+    breaks optax namedtuple states."""
     path = os.path.join(folder, name + ".ckpt")
     if not os.path.exists(_abspath(path)):
-        raise ValueError(f"No checkpoint at {path}")
+        raise CheckpointMissingError(f"No checkpoint at {path}")
     arrays = load_arrays(path, abstract_arrays)
     host = {}
     host_path = os.path.join(folder, name + "_state.json")

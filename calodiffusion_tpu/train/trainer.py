@@ -101,16 +101,26 @@ class Train:
         else:
             folder, name = self.checkpoint_folder, "checkpoint"
 
-        arrays, host = ckpt_io.load_checkpoint(folder, name)
-        self.params = arrays["params"]
-        if "opt_state" in arrays and not restart_training:
-            self.opt_state = jax.tree_util.tree_map(
-                lambda a, b: jnp.asarray(b).astype(a.dtype)
-                if hasattr(a, "dtype") else b,
-                self.opt_state, arrays["opt_state"],
-            )
-        if "ema_params" in arrays:
-            self.ema_params = arrays["ema_params"]
+        # restore with the live state as the abstract tree so optax
+        # namedtuple containers come back typed (orbax alone returns dicts)
+        abstract = {"params": self.params, "opt_state": self.opt_state}
+        if self.ema_params is not None:
+            abstract["ema_params"] = self.ema_params
+        try:
+            arrays, host = ckpt_io.load_checkpoint(folder, name, abstract)
+        except ckpt_io.CheckpointMissingError:
+            raise
+        except Exception:
+            # checkpoint saved with a different key set (e.g. no EMA)
+            arrays, host = ckpt_io.load_checkpoint(folder, name)
+            arrays["opt_state"] = None
+        # restored arrays come back committed to one device; re-replicate
+        # over the mesh so they compose with sharded batches
+        self.params = mesh_lib.replicate(self.mesh, arrays["params"])
+        if arrays.get("opt_state") is not None and not restart_training:
+            self.opt_state = mesh_lib.replicate(self.mesh, arrays["opt_state"])
+        if arrays.get("ema_params") is not None:
+            self.ema_params = mesh_lib.replicate(self.mesh, arrays["ema_params"])
         if not restart_training:
             if host.get("scheduler_state"):
                 scheduler.load_state_dict(host["scheduler_state"])
@@ -135,7 +145,8 @@ class Train:
         else:
             folder, name = self.checkpoint_folder, "checkpoint"
         arrays, _ = ckpt_io.load_checkpoint(folder, name)
-        self.params = arrays.get("ema_params") or arrays["params"]
+        params = arrays.get("ema_params") or arrays["params"]
+        self.params = mesh_lib.replicate(self.mesh, params)
         return self.model, self.params
 
     # -- main entry --------------------------------------------------------
@@ -162,7 +173,7 @@ class Train:
                     scheduler, early_stopper,
                     restart_training=getattr(self.flags, "reset_training", False),
                 )
-            except ValueError as e:
+            except ckpt_io.CheckpointMissingError as e:
                 print(f"No checkpoint to resume ({e}); starting fresh")
 
         epoch, training_losses, val_losses = self.training_loop(

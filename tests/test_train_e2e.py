@@ -89,6 +89,9 @@ def test_train_checkpoint_resume_sample(cfg, synth_data, tmp_path):
     with open(os.path.join(folder, "final_training_losses.txt")) as f:
         losses2 = [float(x) for x in f.read().split()]
     assert len(losses2) == 3  # epochs 0,1 restored + epoch 2
+    # the restored history must be the FIRST run's values (true resume, not a
+    # silent fresh restart)
+    np.testing.assert_allclose(losses2[:2], losses, rtol=1e-6)
 
     # generation end-to-end: sample EVAL loader and reverse-normalize
     eval_flags = default_flags(data_folder=synth_data)
