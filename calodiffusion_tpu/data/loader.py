@@ -110,7 +110,7 @@ class NpzDataset:
 
 def _preprocess_one(
     dataset: str, config: dict, flags, nevts_to_load: int, nholdout: int,
-    NN_embed=None,
+    NN_embed=None, evt_start: int = 0,
 ) -> tuple[str, int]:
     """Produce (or reuse) the npz cache for one source HDF5."""
     import h5py as h5
@@ -126,6 +126,10 @@ def _preprocess_one(
             file_nevts = f["showers"].shape[0]
         if file_nevts > nevts_to_load:
             tag = ".n%i.npz" % nevts_to_load
+    if evt_start > 0:
+        # job-array slices get their own cache files so different
+        # --job-idx values never alias the same ``.n<N>.npz``
+        tag = ".s%i%s" % (evt_start, tag)
 
     path_clean = dataset + tag
     shape = config.get("SHAPE_PAD") or config.get("SHAPE_FINAL")
@@ -152,6 +156,7 @@ def _preprocess_one(
                 config=config,
                 embed=pre_embed,
                 NN_embed=NN_embed,
+                evt_start=evt_start,
             )
         else:
             showers, E, layers = preprocessing.load_calochallenge_h5(
@@ -163,10 +168,17 @@ def _preprocess_one(
                 max_deposit=config["MAXDEP"],
                 logE=config["logE"],
                 showerMap=config["SHOWERMAP"],
-                shower_scale=config.get("SHOWERSCALE", 0.001),
+                # default 200.0 matches the reference loader
+                # (utils.py:871).  NOTE the reference's shipped
+                # CaloChallenge configs spell the key SHOWER_SCALE, which
+                # neither the reference nor this code reads, so those
+                # configs run with this default - quirk preserved for
+                # byte-identical unit scaling (see PARITY.md).
+                shower_scale=shower_scale,
                 nholdout=nholdout,
                 dataset_num=config.get("DATASET_NUM", 2),
                 orig_shape=orig_shape,
+                evt_start=evt_start,
             )
         file_nevts = showers.shape[0]
         layers = np.reshape(layers, (layers.shape[0], -1)) if layers is not None \
@@ -215,12 +227,35 @@ def load_data(flags, config: dict, eval: bool = False):
     if nevts_to_load is None:
         nevts_to_load = -1
 
+    # --job-idx event-offset sharding: job i reads events
+    # [i*nevts, (i+1)*nevts) of the (concatenated) file list, spilling over
+    # file boundaries (intended reference semantics: inference.py:138 +
+    # tests/plot_evolution.py:69-102; the reference computes evt_start but
+    # never wires it into load_data - implemented correctly here)
+    job_idx = getattr(flags, "job_idx", -1)
+    if job_idx is None:
+        job_idx = -1
+    evt_start = 0
+    if job_idx >= 0:
+        if nevts_to_load <= 0:
+            raise ValueError("--job-idx requires a positive --n-events")
+        evt_start = job_idx * nevts_to_load
+
+    import h5py as h5
+
     for i, dataset in enumerate(files + val_file_list):
+        if evt_start > 0:
+            with h5.File(dataset, "r") as f:
+                raw_nevts = f["showers"].shape[0]
+            if evt_start >= raw_nevts:
+                evt_start -= raw_nevts
+                continue
         path_clean, file_nevts = _preprocess_one(
             dataset, config, flags, nevts_to_load,
             nholdout if (i == len(files) - 1) else 0,
-            NN_embed=NN_embed,
+            NN_embed=NN_embed, evt_start=evt_start,
         )
+        evt_start = 0
         if dataset in files:
             train_files.append(path_clean)
         else:
@@ -229,6 +264,12 @@ def load_data(flags, config: dict, eval: bool = False):
             nevts_to_load -= file_nevts
             if nevts_to_load <= 0:
                 break
+
+    if job_idx >= 0 and not (train_files or val_files):
+        raise ValueError(
+            f"--job-idx {job_idx} with -n {getattr(flags, 'nevts', -1)} "
+            "starts past the end of the available events"
+        )
 
     import jax
 

@@ -211,10 +211,30 @@ def process_data_dict(flags, config):
             if flags.nevts > 0 and generated.shape[0] >= flags.nevts:
                 break
 
+    # --job-idx: Geant4 eval files are read at the matching event offset so
+    # job i compares its generated slice against the same Geant events
+    # (intended reference semantics, inference.py:138 + plot_evolution.py;
+    # the generated file of a job already holds only that job's events)
+    job_idx = getattr(flags, "job_idx", -1)
+    evt_start = 0
+    if job_idx is not None and job_idx >= 0:
+        if flags.nevts <= 0:
+            raise ValueError("--job-idx requires a positive --n-events")
+        evt_start = job_idx * flags.nevts
+
     data, energies = [], []
     eval_files = get_files(config["EVAL"], folder=flags.data_folder)
     for dataset in eval_files:
-        showers, en = LoadSamples(dataset, flags, config, NN_embed=NN_embed)
+        if evt_start > 0:
+            with h5py.File(dataset, "r") as h5f:
+                raw_nevts = h5f["showers"].shape[0]
+            if evt_start >= raw_nevts:
+                evt_start -= raw_nevts
+                continue
+        showers, en = LoadSamples(
+            dataset, flags, config, NN_embed=NN_embed, evt_start=evt_start
+        )
+        evt_start = 0
         data.append(showers)
         energies.append(en)
         if sum(d.shape[0] for d in data) >= flags.nevts > 0:
@@ -237,9 +257,16 @@ def process_data_dict(flags, config):
     return data_dict, energies
 
 
-def LoadSamples(fp, flags, config, NN_embed=None):
-    """Load one generated/reference h5 (reference :257-297)."""
-    end = None if flags.nevts < 0 else flags.nevts
+def LoadSamples(fp, flags, config, NN_embed=None, evt_start=0):
+    """Load one generated/reference h5 (reference :257-297).
+
+    ``evt_start`` slices Geant4 eval files for job-array sharding.  NOTE
+    the 0.001 default here intentionally differs from the loader's 200.0:
+    it matches the reference site-for-site (inference.py:260 vs
+    utils.py:871); both generated and Geant files get the same factor so
+    histogram comparisons are unaffected (see PARITY.md).
+    """
+    end = None if flags.nevts < 0 else evt_start + flags.nevts
     shower_scale = config.get("SHOWERSCALE", 0.001)
 
     if config.get("DATASET_NUM", 2) <= 1:
@@ -252,11 +279,14 @@ def LoadSamples(fp, flags, config, NN_embed=None):
 
     with h5py.File(fp, "r") as h5f:
         if flags.hgcal:
-            generated = h5f["showers"][:end, :, : config["MAX_CELLS"]] * shower_scale
-            energies = h5f["gen_info"][:end, 0]
+            generated = (
+                h5f["showers"][evt_start:end, :, : config["MAX_CELLS"]]
+                * shower_scale
+            )
+            energies = h5f["gen_info"][evt_start:end, 0]
         else:
-            generated = h5f["showers"][:end] * shower_scale
-            energies = h5f["incident_energies"][:end] * shower_scale
+            generated = h5f["showers"][evt_start:end] * shower_scale
+            energies = h5f["incident_energies"][evt_start:end] * shower_scale
 
     energies = np.reshape(energies, (-1, 1))
     if flags.plot_reshape:
