@@ -62,22 +62,35 @@ class Loss:
 
     @staticmethod
     def _loss(loss_type: str) -> Callable:
-        def l1(pred, target, weight=1.0):
-            return jnp.mean(jnp.abs(pred - target))
+        # ``mask`` (per-sample, shape (B,)) excludes padded rows from the
+        # mean - used for the ragged last validation batch.  With mask=None
+        # every form reduces exactly to the reference's (weight is used by
+        # l2 only, matching reference loss.py:97-116).
+        def _mmean(vals, mask):
+            if mask is None:
+                return jnp.mean(vals)
+            m = jnp.reshape(mask, _bshape(vals)) * jnp.ones_like(vals)
+            return (vals * m).sum() / m.sum()
 
-        def l2(pred, target, weight):
-            return (weight * (pred - target) ** 2).sum() / (
-                jnp.mean(weight) * np.prod(target.shape)
-            )
+        def l1(pred, target, weight=1.0, mask=None):
+            return _mmean(jnp.abs(pred - target), mask)
 
-        def mse(pred, target, weight=1.0):
-            return jnp.mean((pred - target) ** 2)
+        def l2(pred, target, weight, mask=None):
+            if mask is None:
+                return (weight * (pred - target) ** 2).sum() / (
+                    jnp.mean(weight) * np.prod(target.shape)
+                )
+            w = weight * jnp.reshape(mask, _bshape(pred)) * jnp.ones_like(pred)
+            return (w * (pred - target) ** 2).sum() / w.sum()
 
-        def huber(pred, target, weight=1.0, delta=1.0):
+        def mse(pred, target, weight=1.0, mask=None):
+            return _mmean((pred - target) ** 2, mask)
+
+        def huber(pred, target, weight=1.0, delta=1.0, mask=None):
             err = pred - target
             abs_err = jnp.abs(err)
             quad = jnp.minimum(abs_err, delta)
-            return jnp.mean(0.5 * quad**2 + delta * (abs_err - quad))
+            return _mmean(0.5 * quad**2 + delta * (abs_err - quad), mask)
 
         losses = {"l1": l1, "l2": l2, "mse": mse, "huber": huber}
         if loss_type not in losses:
@@ -103,15 +116,17 @@ class Loss:
 
     def __call__(
         self, denoise_fn, data, E, key, noise=None, time=None, layers=None,
-        rnd_normal=None,
+        rnd_normal=None, mask=None,
     ):
         k_sigma, k_noise = jax.random.split(key)
         if noise is None:
             noise = jax.random.normal(k_noise, data.shape, dtype=data.dtype)
         sigma = self.draw_sigma(k_sigma, data, time=time, rnd_normal=rnd_normal)
-        return self.loss_function(denoise_fn, data, E, sigma, noise, layers)
+        return self.loss_function(denoise_fn, data, E, sigma, noise, layers,
+                                  mask=mask)
 
-    def loss_function(self, denoise_fn, data, E, sigma, noise, layers):
+    def loss_function(self, denoise_fn, data, E, sigma, noise, layers,
+                      mask=None):
         raise NotImplementedError
 
 
@@ -119,34 +134,37 @@ class noise_pred(Loss):
     """Predict the noise (reference loss.py:181-195, same algebra incl. the
     double x0 transform)."""
 
-    def loss_function(self, denoise_fn, data, E, sigma, noise, layers):
+    def loss_function(self, denoise_fn, data, E, sigma, noise, layers,
+                      mask=None):
         x_noisy = data + sigma * noise
         x0_pred = denoise_fn(x_noisy, E=E, sigma=sigma, layers=layers)
         x0_pred = data - sigma * x0_pred
         pred = (data - x0_pred) / sigma
-        return self.loss(pred, noise, jnp.ones_like(pred))
+        return self.loss(pred, noise, jnp.ones_like(pred), mask=mask)
 
 
 class mean_pred(Loss):
     """Predict x0 directly with 1/sigma^2 weighting (reference :197-210)."""
 
-    def loss_function(self, denoise_fn, data, E, sigma, noise, layers):
+    def loss_function(self, denoise_fn, data, E, sigma, noise, layers,
+                      mask=None):
         x_noisy = data + sigma * noise
         x0_pred = denoise_fn(x_noisy, E=E, sigma=sigma, layers=layers)
         weight = 1.0 / (sigma**2) * jnp.ones_like(x0_pred)
-        return self.loss(x0_pred, data, weight)
+        return self.loss(x0_pred, data, weight, mask=mask)
 
 
 class hybrid_weight(Loss):
     """EDM-style x0 target with (1 + 1/sigma^2) weighting (reference :163-179)."""
 
-    def loss_function(self, denoise_fn, data, E, sigma, noise, layers):
+    def loss_function(self, denoise_fn, data, E, sigma, noise, layers,
+                      mask=None):
         x_noisy = data + sigma * noise
         x0_pred = denoise_fn(x_noisy, E=E, sigma=sigma, layers=layers)
         weight = jnp.reshape(1.0 + 1.0 / sigma**2, _bshape(data)) * jnp.ones_like(
             x0_pred
         )
-        return self.loss(x0_pred, data, weight)
+        return self.loss(x0_pred, data, weight, mask=mask)
 
 
 class minsnr(Loss):
@@ -156,13 +174,14 @@ class minsnr(Loss):
         super().__init__(config, n_steps, loss_type)
         self.gamma = float(config.get("MINSNR_GAMMA", 5.0))
 
-    def loss_function(self, denoise_fn, data, E, sigma, noise, layers):
+    def loss_function(self, denoise_fn, data, E, sigma, noise, layers,
+                      mask=None):
         x_noisy = data + sigma * noise
         x0_pred = denoise_fn(x_noisy, E=E, sigma=sigma, layers=layers)
         snr = (self.sigma_data / sigma) ** 2
         weight = jnp.minimum(snr, self.gamma) / snr
         weight = jnp.reshape(weight, _bshape(data)) * jnp.ones_like(x0_pred)
-        return self.loss(x0_pred, data, weight)
+        return self.loss(x0_pred, data, weight, mask=mask)
 
 
 LOSS_REGISTRY = {

@@ -61,6 +61,7 @@ class Train:
 
         self.model: Optional[CaloDiffusion] = None
         self._device_cache = None
+        self._cache_epoch = 0
         self.params = None
         self.ema_params = None
         self.opt = None
@@ -232,10 +233,12 @@ class TrainDiffusion(Train):
             return params, opt_state, ema_params, loss
 
         @jax.jit
-        def val_step(params, data, E, layers, noise, rnd_normal):
+        def val_step(params, data, E, layers, noise, rnd_normal, mask):
+            # mask zeroes padded rows out of the mean so the ragged last
+            # val batch doesn't bias the val loss
             return model.loss_function(
                 model.denoise_fn(params), data, E, jax.random.PRNGKey(0),
-                noise=noise, layers=layers, rnd_normal=rnd_normal,
+                noise=noise, layers=layers, rnd_normal=rnd_normal, mask=mask,
             )
 
         return train_step, val_step
@@ -259,8 +262,15 @@ class TrainDiffusion(Train):
         """
         cache_cfg = self.config.get("CACHE_DATA_ON_DEVICE", "auto")
         if self._device_cache is not None:
-            for batch in self._device_cache:
-                yield batch
+            # reshuffle the cached batch order every epoch so the cache is
+            # no more rigid than streaming (which replays file order); the
+            # reference's IterableDataset never shuffles at all
+            self._cache_epoch += 1
+            order = np.random.default_rng(self._cache_epoch).permutation(
+                len(self._device_cache)
+            )
+            for j in order:
+                yield self._device_cache[j]
             return
 
         collect = cache_cfg is True or cache_cfg == "auto"
@@ -292,7 +302,10 @@ class TrainDiffusion(Train):
         n_val = len(self.loader_val) + 1 if self.loader_val is not None else 0
         if n_val:
             self.rng, k = jax.random.split(self.rng)
-            val_rnd = jax.random.normal(k, (n_val, self.batch_size))
+            # sized from the loader's actual batch size, which may differ
+            # from config BATCH under a CLI --batch-size override
+            val_batch = getattr(self.loader_val, "batch_size", self.batch_size)
+            val_rnd = jax.random.normal(k, (n_val, val_batch))
 
         timer = StepTimer()
         trace_dir = getattr(self.flags, "trace_dir", None) or self.config.get(
@@ -331,18 +344,19 @@ class TrainDiffusion(Train):
                     if i >= val_rnd.shape[0]:
                         break
                     self.rng, k = jax.random.split(self.rng)
+                    n_real = vE.shape[0]
                     noise = jax.random.normal(k, vdata.shape, dtype=jnp.float32)
-                    rnd = val_rnd[i][: vE.shape[0]]
+                    rnd = val_rnd[i][:n_real]
                     vE_d, vlay_d, vdata_d = self._device_batch(vE, vlayers, vdata)
-                    rnd = jnp.pad(rnd, (0, vdata_d.shape[0] - rnd.shape[0]))
+                    n_pad = vdata_d.shape[0] - n_real
+                    rnd = jnp.pad(rnd, (0, n_pad))
                     noise = jnp.pad(
-                        noise,
-                        [(0, vdata_d.shape[0] - noise.shape[0])]
-                        + [(0, 0)] * (noise.ndim - 1),
+                        noise, [(0, n_pad)] + [(0, 0)] * (noise.ndim - 1)
                     )
+                    mask = jnp.pad(jnp.ones(n_real, jnp.float32), (0, n_pad))
                     val_losses_dev.append(val_step(
                         self.params, vdata_d, vE_d,
-                        vlay_d if layer_cond else None, noise, rnd,
+                        vlay_d if layer_cond else None, noise, rnd, mask,
                     ))
                 val_loss = (
                     float(jnp.mean(jnp.stack(val_losses_dev)))

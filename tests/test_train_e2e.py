@@ -59,6 +59,7 @@ def test_load_data_cache(cfg, synth_data):
     assert len(train_loader) == 3  # 48 events / batch 16
 
 
+@pytest.mark.slow  # ~5 min
 def test_train_checkpoint_resume_sample(cfg, synth_data, tmp_path):
     flags = default_flags(
         data_folder=synth_data, checkpoint_folder=str(tmp_path / "ckpt")
@@ -103,3 +104,22 @@ def test_train_checkpoint_resume_sample(cfg, synth_data, tmp_path):
     assert energies.shape == (48, 1)
     assert np.all(np.isfinite(generated))
     assert np.all(generated >= 0)  # post-ReverseNorm physical energies
+
+
+@pytest.mark.slow  # ~2.5 min
+def test_train_ragged_val_with_batch_override(cfg, synth_data, tmp_path):
+    """CLI --batch-size overrides config BATCH; val set (48 events) is
+    ragged at batch 20 (20+20+8).  Regression for round-1: val_rnd was
+    sized from config BATCH and padded rows biased the val mean."""
+    flags = default_flags(
+        data_folder=synth_data, checkpoint_folder=str(tmp_path / "ckpt_rg"),
+        batch_size=20,
+    )
+    cfg_rg = dict(cfg, MAXEPOCH=1)
+    trainer = TrainDiffusion(flags, cfg_rg)
+    trainer.train()
+    assert trainer.loader_val.batch_size == 20
+    folder = trainer.checkpoint_folder
+    with open(os.path.join(folder, "final_validation_losses.txt")) as f:
+        vlosses = [float(x) for x in f.read().split()]
+    assert len(vlosses) == 1 and np.isfinite(vlosses[0])
