@@ -26,6 +26,9 @@ def optimize_parser():
                         choices=["diffusion", "layer"])
     parser.add_argument("--study-name", dest="study_name", default="optimize")
     parser.add_argument("--n-trials", dest="n_trials", type=int, default=10)
+    parser.add_argument("--timeout", type=float, default=None,
+                        help="Total study wall-clock budget in seconds "
+                             "(default: unlimited)")
     parser.add_argument("--results-folder", dest="results_folder",
                         default="./optimization_results")
     parser.add_argument("-n", "--nevts", type=int, default=-1)

@@ -254,11 +254,14 @@ class Restart(EDMBase):
         x = start.astype(jnp.float32) * float(ts[0])
 
         # cast t_min of each restart config to the nearest main-step index
-        # (intended behavior per the legacy sampler, sampling.py:198-203)
-        restart_at = {
-            int(np.argmin(np.abs(ts - v[2]))): v
-            for v in self.restart_list.values()
-        }
+        # (intended behavior per the legacy sampler, sampling.py:198-203).
+        # Unlike the reference's dict comprehension - where two configs
+        # mapping to the same index silently overwrite (last wins) - every
+        # config is kept and applied in order at its index.
+        restart_at: dict[int, list] = {}
+        for v in self.restart_list.values():
+            idx = int(np.argmin(np.abs(ts - v[2])))
+            restart_at.setdefault(idx, []).append(v)
 
         def euler_segment(x, key, seg_rows):
             if not seg_rows:
@@ -280,42 +283,47 @@ class Restart(EDMBase):
             (x, key), _ = jax.lax.scan(body, (x, key), tables)
             return x, key
 
-        def restart_block(x, key, restart_idx, cfg):
-            n_restart, K, _t_min, t_max = cfg
-            new_ts = schedules.karras_steps(
-                n_restart, float(ts[restart_idx]), t_max, self.rho
-            ).astype(np.float64)
-            reup = math.sqrt(max(new_ts[0] ** 2 - new_ts[-1] ** 2, 0.0)) * self.S_noise
-            for _ in range(int(K)):
-                key, kn = jax.random.split(key)
-                x = x + reup * jax.random.normal(kn, x.shape, x.dtype)
-                for j, (t_cur, t_next) in enumerate(zip(new_ts[:-1], new_ts[1:])):
-                    gamma = (
-                        self.restart_gamma
-                        if self.S_min <= t_cur <= self.S_max
-                        else 0.0
-                    )
-                    t_hat = t_cur + gamma * t_cur
-                    churn = math.sqrt(max(t_hat**2 - t_cur**2, 0.0)) * self.S_noise
-                    key, kn = jax.random.split(key)
-                    x_hat = x + churn * jax.random.normal(kn, x.shape, x.dtype)
-                    den = self.denoise_at(denoise, x_hat, t_hat, bs)
-                    d_cur = (x_hat - den) / t_hat
-                    x = x_hat + (t_next - t_hat) * d_cur
-                    if (j < len(new_ts) - 2 or new_ts[-1] != 0) and t_next > 0:
-                        den2 = self.denoise_at(denoise, x, t_next, bs)
-                        d_prime = (x - den2) / t_next
-                        x = x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
-            return x, key
-
         # split the main Euler walk into scan segments at restart points
         seg_start = 0
         for i in range(len(rows)):
             if i + 1 in restart_at:
                 x, key = euler_segment(x, key, rows[seg_start: i + 1])
-                x, key = restart_block(x, key, i + 1, restart_at[i + 1])
+                for cfg in restart_at[i + 1]:
+                    x, key = self._restart_block(
+                        denoise, bs, ts, x, key, i + 1, cfg
+                    )
                 seg_start = i + 1
         x, key = euler_segment(x, key, rows[seg_start:])
         if debug:
             return x, None, None
         return x
+
+    def _restart_block(self, denoise, bs, ts, x, key, restart_idx, cfg):
+        """One restart config: re-noise up to t_max, Heun back down to
+        t_steps[restart_idx], K times (reference sample.py:871-932)."""
+        n_restart, K, _t_min, t_max = cfg
+        new_ts = schedules.karras_steps(
+            n_restart, float(ts[restart_idx]), t_max, self.rho
+        ).astype(np.float64)
+        reup = math.sqrt(max(new_ts[0] ** 2 - new_ts[-1] ** 2, 0.0)) * self.S_noise
+        for _ in range(int(K)):
+            key, kn = jax.random.split(key)
+            x = x + reup * jax.random.normal(kn, x.shape, x.dtype)
+            for j, (t_cur, t_next) in enumerate(zip(new_ts[:-1], new_ts[1:])):
+                gamma = (
+                    self.restart_gamma
+                    if self.S_min <= t_cur <= self.S_max
+                    else 0.0
+                )
+                t_hat = t_cur + gamma * t_cur
+                churn = math.sqrt(max(t_hat**2 - t_cur**2, 0.0)) * self.S_noise
+                key, kn = jax.random.split(key)
+                x_hat = x + churn * jax.random.normal(kn, x.shape, x.dtype)
+                den = self.denoise_at(denoise, x_hat, t_hat, bs)
+                d_cur = (x_hat - den) / t_hat
+                x = x_hat + (t_next - t_hat) * d_cur
+                if (j < len(new_ts) - 2 or new_ts[-1] != 0) and t_next > 0:
+                    den2 = self.denoise_at(denoise, x, t_next, bs)
+                    d_prime = (x - den2) / t_next
+                    x = x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
+        return x, key

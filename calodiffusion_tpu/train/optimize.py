@@ -349,7 +349,10 @@ class Optimize:
             self.flags.study_name,
             [obj.direction() for obj in self.objectives],
         )
+        # no timeout unless the user asks (the reference has none either,
+        # optimize.py:214-225); --timeout caps total study wall-clock
         study.optimize(
-            self.objective, n_trials=self.flags.n_trials, timeout=300
+            self.objective, n_trials=self.flags.n_trials,
+            timeout=getattr(self.flags, "timeout", None),
         )
         self.save_results(study)

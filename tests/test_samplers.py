@@ -147,3 +147,38 @@ def test_debug_returns_trajectory():
     assert np.asarray(xs).shape == (10, 2, 16)
     assert np.asarray(x0s).shape == (10, 2, 16)
     np.testing.assert_allclose(np.asarray(xs)[-1], np.asarray(x))
+
+
+def test_restart_dense_list_applies_all_configs(monkeypatch):
+    """Two restart configs mapping to the same nearest step index must BOTH
+    run (the reference's dict comprehension silently drops one - a latent
+    bug; intended semantics applied here)."""
+    from calodiffusion_tpu.samplers.edm import Restart
+
+    num_steps = 8
+    model = DummyModel(nsteps=num_steps)
+    cfg = dict(CFG)
+    # t_min values 19.0 and 20.0 both map to the same coarse-grid index
+    cfg["SAMPLER_OPTIONS"] = {"RESTART_LIST": {
+        "0": [3, 1, 19.0, 40.0],
+        "1": [3, 1, 20.0, 41.0],
+        "2": [3, 1, 1.0, 2.0],
+    }}
+    sampler = Restart(cfg)
+
+    calls = []
+    orig = Restart._restart_block
+
+    def spy(self, denoise, bs, ts, x, key, restart_idx, block_cfg):
+        calls.append((restart_idx, tuple(block_cfg)))
+        return orig(self, denoise, bs, ts, x, key, restart_idx, block_cfg)
+
+    monkeypatch.setattr(Restart, "_restart_block", spy)
+    key = jax.random.PRNGKey(0)
+    start = jax.random.normal(key, (8, 32))
+    out = sampler(model, None, start, jnp.ones((8, 1)), None, num_steps, 0,
+                  jax.random.PRNGKey(1), False)
+    assert np.isfinite(np.asarray(out)).all()
+    assert len(calls) == 3  # every config applied, ties included
+    applied = {c[1] for c in calls}
+    assert (3, 1, 19.0, 40.0) in applied and (3, 1, 20.0, 41.0) in applied
