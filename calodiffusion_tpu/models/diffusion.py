@@ -65,7 +65,10 @@ class CaloDiffusionNet(nn.Module):
             )
 
             embed = HGCalConverterModule(**self.hgcal_converter, name="NN_embed")
-            x = embed.enc(x)[..., None]  # (B, Z, A, R, 1)
+            # accept both (B, L, ncell) and the reference SHAPE_PAD layout
+            # (B, 1, L, ncell) (reference HGCal_utils Embeder "... l n" einsum)
+            x_cells = x.reshape(x.shape[0], *x.shape[-2:])
+            x = embed.enc(x_cells)[..., None]  # (B, Z, A, R, 1)
         else:
             # (B, 1, Z, A, R) -> channels-last
             x = jnp.moveaxis(x, 1, -1)
@@ -303,12 +306,41 @@ class CaloDiffusion:
         sample_offset: int = 0, debug: bool = False, sampler=None,
     ):
         """Generate one batch of showers; the entire reverse trajectory runs
-        inside jit (reference diffusion.py:77-104)."""
+        inside jit (reference diffusion.py:77-104).
+
+        Batches above ``SAMPLE_MICROBATCH`` (default 128) are processed as
+        sequential microbatches via ``lax.map``: per-step activations then
+        stay VMEM-resident instead of streaming through HBM, which keeps
+        large-batch throughput at the batch-128 sweet spot (the round-1
+        HBM cliff, BASELINE.md)."""
         if sampler is None:
             sampler = self.make_sampler()
-        shape = (energy.shape[0], *self._data_shape)
+        B = energy.shape[0]
+        shape = (B, *self._data_shape)
         k_start, k_samp = jax.random.split(key)
         start = self.noise_generation(k_start, shape)
+
+        micro = int(self.config.get("SAMPLE_MICROBATCH", 128) or 0)
+        if not debug and micro and B > micro and B % micro == 0:
+            n_chunks = B // micro
+            keys = jax.random.split(k_samp, n_chunks)
+            st = start.reshape(n_chunks, micro, *start.shape[1:])
+            en = energy.reshape(n_chunks, micro, *energy.shape[1:])
+            lay = (
+                layers.reshape(n_chunks, micro, *layers.shape[1:])
+                if layers is not None else None
+            )
+
+            def chunk(args):
+                st_c, en_c, lay_c, k_c = args
+                return sampler(
+                    self, params, st_c, en_c, lay_c, num_steps,
+                    sample_offset, k_c, False,
+                )
+
+            out = jax.lax.map(chunk, (st, en, lay, keys))
+            return out.reshape(B, *out.shape[2:])
+
         return sampler(
             self, params, start, energy, layers, num_steps, sample_offset,
             k_samp, debug,

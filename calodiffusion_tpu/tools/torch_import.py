@@ -106,6 +106,54 @@ def _import_linear_attention(params, sd, torch_base, flax_attn, flax_prenorm):
                       flax_attn + ["GroupNorm_0"])
 
 
+def _import_convnext_block(params, sd, torch_base, flax_path):
+    """Reference ConvNextBlock (models.py:203-243): ds_conv (depthwise 7^3),
+    mlp.1, net = [GN, conv3, GELU, GN, conv3], optional res_conv."""
+    ds = _conv_prefix(sd, f"{torch_base}.ds_conv")
+    _set(params, flax_path + ["ds_kernel"], _t_conv(sd[f"{ds}.weight"]))
+    if f"{ds}.bias" in sd:
+        _set(params, flax_path + ["ds_bias"], np.asarray(sd[f"{ds}.bias"]))
+    if f"{torch_base}.mlp.1.weight" in sd:
+        _import_linear(params, sd, f"{torch_base}.mlp.1",
+                       flax_path + ["Dense_0"])
+    _import_groupnorm(params, sd, f"{torch_base}.net.0",
+                      flax_path + ["GroupNorm_0"])
+    _import_conv(params, sd, f"{torch_base}.net.1", flax_path + ["Conv3d_0"])
+    _import_groupnorm(params, sd, f"{torch_base}.net.3",
+                      flax_path + ["GroupNorm_1"])
+    _import_conv(params, sd, f"{torch_base}.net.4", flax_path + ["Conv3d_1"])
+    res = _conv_prefix(sd, f"{torch_base}.res_conv")
+    if f"{res}.weight" in sd:
+        _import_conv(params, sd, f"{torch_base}.res_conv",
+                     flax_path + ["Conv3d_2"])
+
+
+def _import_res_dense(params, sd, torch_base, flax_path):
+    """Reference ResDense (models.py:373-389): dense1.0, embeder.1, dense2.0
+    -> flax Dense_0/1/2 (creation order in ResDenseLayer)."""
+    _import_linear(params, sd, f"{torch_base}.dense1.0", flax_path + ["Dense_0"])
+    _import_linear(params, sd, f"{torch_base}.embeder.1", flax_path + ["Dense_1"])
+    _import_linear(params, sd, f"{torch_base}.dense2.0", flax_path + ["Dense_2"])
+
+
+def import_resnet_dense(p, sd, root):
+    """Reference dense ResNet (models.py:392-457) -> ResNetDense params.
+
+    ``root`` is the flax path of the ResNetDense module (e.g.
+    ["params", "ResNetDense_0"]).  The time MLP has an Unflatten stem
+    (Linears at 1,3,5); the cond MLP starts with a Linear (0,2,4) -
+    _import_cond_mlp's index sniffing handles both."""
+    _import_cond_mlp(p, sd, "time_mlp", root + ["time_mlp"], embed=False)
+    _import_cond_mlp(p, sd, "cond_mlp", root + ["cond_mlp"], embed=False)
+    _import_linear(p, sd, "in_lay", root + ["in_lay"])
+    i = 0
+    while f"hidden_layers.{i}.dense1.0.weight" in sd:
+        _import_res_dense(p, sd, f"hidden_layers.{i}",
+                          root + [f"ResDenseLayer_{i}"])
+        i += 1
+    _import_linear(p, sd, "out_lay", root + ["out_lay"])
+
+
 def _import_cond_mlp(params, sd, torch_base, flax_path, embed: bool):
     """Sequential indices: sinusoidal stem -> Linears at 1,3; linear stem ->
     Linears at 0/1,3,5 (reference models.py:578-608)."""
@@ -177,27 +225,61 @@ def torch_state_dict_to_params(state_dict: dict, model, params) -> Any:
     p = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
     p = to_mutable(dict(p))
 
-    unet = ["params", "CondUnet_0"]
     cfg = model.config
-    ls = list(cfg["LAYER_SIZE_UNET"])
-    n_res = len(ls) - 1
-    block_attn = cfg.get("BLOCK_ATTN", False)
-    mid_attn = cfg.get("MID_ATTN", False)
+    if getattr(model, "fully_connected", False):
+        import_resnet_dense(p, sd, ["params", "ResNetDense_0"])
+    else:
+        import_condunet(
+            p, sd, ["params", "CondUnet_0"],
+            n_res=len(list(cfg["LAYER_SIZE_UNET"])) - 1,
+            block_attn=cfg.get("BLOCK_ATTN", False),
+            mid_attn=cfg.get("MID_ATTN", False),
+            time_embed=cfg.get("TIME_EMBED", "sin") == "sin",
+            cond_embed=cfg.get("COND_EMBED", "sin") == "sin",
+        )
+
+    # dataset-1 trainable geometry embedding (reference NN_embed.encs/decs)
+    nn_root = ["params", "NN_embed"]
+    i = 0
+    while f"NN_embed.encs.{i}.weight" in sd:
+        _set(p, nn_root + [f"enc_{i}"], np.asarray(sd[f"NN_embed.encs.{i}.weight"]))
+        _set(p, nn_root + [f"dec_{i}"], np.asarray(sd[f"NN_embed.decs.{i}.weight"]))
+        i += 1
+
+    # trainable HGCal GLaM matrices (reference Embeder/Decoder .mat params,
+    # HGCal_utils.py:295-353; masks are module constants on both sides)
+    if "NN_embed.embeder.mat" in sd:
+        _set(p, nn_root + ["enc_mat"], np.asarray(sd["NN_embed.embeder.mat"]))
+        _set(p, nn_root + ["dec_mat"], np.asarray(sd["NN_embed.decoder.mat"]))
+
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+def import_condunet(p, sd, unet, n_res, block_attn=False, mid_attn=False,
+                    time_embed=True, cond_embed=True, use_convnext=False):
+    """Translate a reference CondUnet state_dict rooted at ``sd``'s top level
+    into the flax CondUnet subtree at path ``unet``."""
+    block_name = "ConvNextBlock" if use_convnext else "ResnetBlock"
+    block_import = (_import_convnext_block if use_convnext
+                    else _import_resnet_block)
 
     _import_conv(p, sd, "init_conv", unet + ["init_conv"])
-    _import_cond_mlp(p, sd, "time_mlp", unet + ["time_mlp"],
-                     embed=cfg.get("TIME_EMBED", "sin") == "sin")
+    if "time_mlp.1.weight" in sd or "time_mlp.0.weight" in sd:
+        _import_cond_mlp(p, sd, "time_mlp", unet + ["time_mlp"],
+                         embed=time_embed)
     _import_cond_mlp(p, sd, "cond_mlp", unet + ["cond_mlp"],
-                     embed=cfg.get("COND_EMBED", "sin") == "sin")
+                     embed=cond_embed)
 
-    rb = 0  # flax ResnetBlock counter (call order)
+    rb = 0  # flax block counter (call order)
     ds = 0  # downsample Conv3d counter
     attn = 0  # LinearAttention / PreNormResidual counter
     for i in range(n_res):
-        _import_resnet_block(p, sd, f"downs.{i}.0",
-                             unet + [f"ResnetBlock_{rb}"]); rb += 1
-        _import_resnet_block(p, sd, f"downs.{i}.1",
-                             unet + [f"ResnetBlock_{rb}"]); rb += 1
+        block_import(p, sd, f"downs.{i}.0",
+                     unet + [f"{block_name}_{rb}"]); rb += 1
+        block_import(p, sd, f"downs.{i}.1",
+                     unet + [f"{block_name}_{rb}"]); rb += 1
         if block_attn:
             _import_linear_attention(
                 p, sd, f"downs_attn.{i}", unet + [f"LinearAttention_{attn}"],
@@ -208,23 +290,23 @@ def torch_state_dict_to_params(state_dict: dict, model, params) -> Any:
             _import_conv(p, sd, f"downs.{i}.2", unet + [f"Conv3d_{ds}"])
             ds += 1
 
-    _import_resnet_block(p, sd, "mid_block1",
-                         unet + [f"ResnetBlock_{rb}"]); rb += 1
+    block_import(p, sd, "mid_block1",
+                 unet + [f"{block_name}_{rb}"]); rb += 1
     if mid_attn:
         _import_linear_attention(
             p, sd, "mid_attn", unet + [f"LinearAttention_{attn}"],
             unet + [f"PreNormResidual_{attn}"],
         )
         attn += 1
-    _import_resnet_block(p, sd, "mid_block2",
-                         unet + [f"ResnetBlock_{rb}"]); rb += 1
+    block_import(p, sd, "mid_block2",
+                 unet + [f"{block_name}_{rb}"]); rb += 1
 
     up = 0
     for i in range(n_res):
-        _import_resnet_block(p, sd, f"ups.{i}.0",
-                             unet + [f"ResnetBlock_{rb}"]); rb += 1
-        _import_resnet_block(p, sd, f"ups.{i}.1",
-                             unet + [f"ResnetBlock_{rb}"]); rb += 1
+        block_import(p, sd, f"ups.{i}.0",
+                     unet + [f"{block_name}_{rb}"]); rb += 1
+        block_import(p, sd, f"ups.{i}.1",
+                     unet + [f"{block_name}_{rb}"]); rb += 1
         if block_attn:
             _import_linear_attention(
                 p, sd, f"ups_attn.{i}", unet + [f"LinearAttention_{attn}"],
@@ -236,18 +318,6 @@ def torch_state_dict_to_params(state_dict: dict, model, params) -> Any:
                          unet + [f"Conv3dTranspose_{up}"], transpose=True)
             up += 1
 
-    _import_resnet_block(p, sd, "final_conv.0",
-                         unet + [f"ResnetBlock_{rb}"]); rb += 1
+    block_import(p, sd, "final_conv.0",
+                 unet + [f"{block_name}_{rb}"]); rb += 1
     _import_conv(p, sd, "final_conv.1", unet + ["final_conv"])
-
-    # dataset-1 trainable geometry embedding (reference NN_embed.encs/decs)
-    nn_root = ["params", "NN_embed"]
-    i = 0
-    while f"NN_embed.encs.{i}.weight" in sd:
-        _set(p, nn_root + [f"enc_{i}"], np.asarray(sd[f"NN_embed.encs.{i}.weight"]))
-        _set(p, nn_root + [f"dec_{i}"], np.asarray(sd[f"NN_embed.decs.{i}.weight"]))
-        i += 1
-
-    import jax.numpy as jnp
-
-    return jax.tree_util.tree_map(jnp.asarray, p)

@@ -68,6 +68,7 @@ def test_compute_loss_finite_and_deterministic(model_and_params):
     assert float(l1) == float(l2)
 
 
+@pytest.mark.slow  # ~30s
 def test_loss_gradients_flow(model_and_params):
     cfg, model, params = model_and_params
     data, E, layers = fake_batch(cfg)
@@ -89,4 +90,44 @@ def test_ddim_sample_runs(model_and_params):
     out = model.sample(params, jax.random.PRNGKey(3), jnp.asarray(E),
                        layers=jnp.asarray(layers), num_steps=10)
     assert out.shape == (2, 1, 45, 16, 9)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.slow  # ~80s: two full sampler traces
+def test_microbatched_sampling_matches_chunks(model_and_params):
+    """SAMPLE_MICROBATCH splits big batches into sequential lax.map chunks
+    (the large-batch HBM-cliff fix); results must equal sampling each chunk
+    directly with the same split keys."""
+    cfg, model, params = model_and_params
+    _, E, layers = fake_batch(cfg, batch=8, seed=7)
+    E, layers = jnp.asarray(E), jnp.asarray(layers)
+
+    micro_model = CaloDiffusion(dict(cfg, SAMPLE_MICROBATCH=4), n_steps=10)
+    key = jax.random.PRNGKey(11)
+    out = micro_model.sample(params, key, E, layers=layers, num_steps=10)
+    assert out.shape == (8, 1, 45, 16, 9)
+
+    # reproduce by hand: same start-noise draw, same per-chunk keys
+    k_start, k_samp = jax.random.split(key)
+    start = micro_model.noise_generation(k_start, (8, 1, 45, 16, 9))
+    keys = jax.random.split(k_samp, 2)
+    sampler = micro_model.make_sampler()
+    expected = jnp.concatenate([
+        sampler(micro_model, params, start[i * 4:(i + 1) * 4],
+                E[i * 4:(i + 1) * 4], layers[i * 4:(i + 1) * 4],
+                10, 0, keys[i], False)
+        for i in range(2)
+    ])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_microbatch_disabled_for_indivisible_batch(model_and_params):
+    cfg, model, params = model_and_params
+    _, E, layers = fake_batch(cfg, batch=6, seed=8)
+    micro_model = CaloDiffusion(dict(cfg, SAMPLE_MICROBATCH=4), n_steps=10)
+    out = micro_model.sample(params, jax.random.PRNGKey(1), jnp.asarray(E),
+                             layers=jnp.asarray(layers), num_steps=10)
+    assert out.shape == (6, 1, 45, 16, 9)
     assert np.all(np.isfinite(np.asarray(out)))
