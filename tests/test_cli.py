@@ -15,6 +15,8 @@ from calodiffusion_tpu.inference import inference
 from calodiffusion_tpu.training import train
 from tests.utils_test import tiny_ds2_config
 
+pytestmark = pytest.mark.slow  # chained CLI train->infer->plot, ~5 min
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

@@ -15,7 +15,7 @@ from calodiffusion_tpu.training import train
 from calodiffusion_tpu.utils import hgcal_utils
 from tests.utils_test import tiny_ds2_config
 
-pytestmark = pytest.mark.hgcal
+pytestmark = [pytest.mark.hgcal, pytest.mark.slow]
 
 
 @pytest.fixture(scope="module")

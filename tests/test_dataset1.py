@@ -75,6 +75,7 @@ def test_ds1_preprocess_roundtrip(binning_file):
     np.testing.assert_allclose(rec, shower, atol=5e-3, rtol=5e-2)
 
 
+@pytest.mark.slow  # ~60s
 def test_ds1_model_with_nn_embed(binning_file):
     """In-model trainable geometry embedding on flat showers."""
     bins = XMLHandler("photon", binning_file)

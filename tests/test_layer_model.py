@@ -48,6 +48,7 @@ def test_layer_loss_only_trains_layer_net(layer_model):
     model.set_layer_state(False)
 
 
+@pytest.mark.slow  # ~30s
 def test_base_loss_trains_base_net(layer_model):
     cfg, model, params = layer_model
     data, E, layers = fake_batch(cfg)

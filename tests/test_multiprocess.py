@@ -1,0 +1,95 @@
+"""Multi-process SPMD verification (VERDICT round-1 #5): two actual
+processes with jax.distributed.initialize on CPU, per-process file sharding
+through NpzDataset, global batch assembly with
+make_array_from_process_local_data, and one jitted train step - loss and
+updated-parameter norm must match the single-process run bit-for-tolerance.
+
+This is the scaled-down DCN/multi-host story of parallel/mesh.py, actually
+executed instead of documented.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _make_npz(folder):
+    """Two npz shards (one per process), 8 events each, ds2 geometry."""
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        E = rng.uniform(0.1, 1.0, (8, 1)).astype(np.float32)
+        layers = rng.standard_normal((8, 46)).astype(np.float32)
+        showers = rng.standard_normal((8, 1, 45, 16, 9)).astype(np.float32)
+        np.savez_compressed(
+            os.path.join(folder, f"shard_{i}.hdf5.npz"),
+            E=E, layers=layers, showers=showers,
+        )
+
+
+def _run_worker(pid, nproc, port, data_dir, timeout=420):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["PYTHONPATH"] = REPO
+    proc = subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(nproc), str(port), data_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    return proc
+
+
+def _parse(out):
+    vals = {}
+    for line in out.splitlines():
+        if line.startswith("MPLOSS"):
+            vals["loss"] = float(line.split()[1])
+        elif line.startswith("MPGNORM"):
+            vals["gnorm"] = float(line.split()[1])
+        elif line.startswith("MPDEVICES"):
+            vals["devices"] = int(line.split()[1])
+            vals["local"] = int(line.split()[3])
+    return vals
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single(tmp_path):
+    data_dir = str(tmp_path)
+    _make_npz(data_dir)
+
+    # single-process reference (2 virtual devices, full 16-event batch)
+    ref = _run_worker(0, 1, 0, data_dir)
+    out, err = ref.communicate(timeout=420)
+    assert ref.returncode == 0, f"single-process worker failed:\n{err}"
+    single = _parse(out)
+    assert single["devices"] == 2
+
+    # two processes, two devices each -> 4-device global mesh over "DCN"
+    port = _free_port()
+    procs = [_run_worker(i, 2, port, data_dir) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"multi-process worker failed:\n{err}"
+        outs.append(_parse(out))
+
+    for got in outs:
+        assert got["devices"] == 4 and got["local"] == 2
+        # same global batch, params, and PRNG key -> same loss and same
+        # post-update weights regardless of process/device layout
+        # 4-device vs 2-device partitioning reorders the f32 reductions
+        np.testing.assert_allclose(got["loss"], single["loss"], rtol=2e-4)
+        np.testing.assert_allclose(got["gnorm"], single["gnorm"], rtol=2e-4)
+    # both processes agree with each other exactly
+    np.testing.assert_allclose(outs[0]["loss"], outs[1]["loss"], rtol=0)

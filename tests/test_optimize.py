@@ -14,6 +14,8 @@ from calodiffusion_tpu.train.trainer import TrainDiffusion
 from calodiffusion_tpu.utils.config import default_flags
 from tests.utils_test import tiny_ds2_config
 
+pytestmark = pytest.mark.slow  # optuna harness trains models, ~85s
+
 
 @pytest.mark.slow
 def test_optimize_single_trial(tmp_path):

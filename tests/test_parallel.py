@@ -54,6 +54,7 @@ def test_sharded_loss_matches_single_device(small_model):
     np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-4)
 
 
+@pytest.mark.slow  # ~30s
 def test_sharded_train_step_keeps_params_replicated(small_model):
     cfg, model, params = small_model
     data, E, layers = fake_batch(cfg, batch=8)
@@ -114,6 +115,7 @@ def test_sharded_sampling(small_model):
     assert len(out.sharding.device_set) == 8
 
 
+@pytest.mark.slow  # ~40s
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 

