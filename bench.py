@@ -1,11 +1,20 @@
-"""Benchmark harness: dataset-2 shower generation throughput on one chip.
+"""Benchmark harness: shower-generation throughput + MFU on one chip.
 
 Primary metric (BASELINE.md): generated showers/sec/chip at 400-step DDIM
 sampling on the dataset-2 geometry, versus the PyTorch reference running on
 CPU (measured once via bench_baselines/reference_torch.py and cached).
 
+Also reported inside the one JSON line (extra keys):
+  - mfu: model FLOP utilisation of the primary run (analytic FLOPs from
+    XLA cost analysis / wall / chip peak)
+  - train_samples_per_sec: jitted train-step throughput (fwd+bwd+Adam)
+  - ds1 / ds3 / hgcal showers/sec on their geometries (BENCH_ALL=0 skips)
+  - separation_power: Etot separation from the last fidelity run
+    (fidelity_report.json, written by scripts/tpu_fidelity_check.py) -
+    the "at matched separation power" clause of BASELINE.json
+
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 """
 
 from __future__ import annotations
@@ -20,17 +29,38 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def measure_ours(batch: int, num_steps: int, runs: int = 3) -> float:
+# bf16 peak matmul TFLOP/s per chip by device kind (public specs)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def chip_peak_flops(precision: str) -> float | None:
+    if "BENCH_PEAK_TFLOPS" in os.environ:
+        return float(os.environ["BENCH_PEAK_TFLOPS"]) * 1e12
     import jax
 
-    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+    kind = jax.devices()[0].device_kind
+    peak = None
+    for name, val in PEAK_BF16.items():
+        if kind.startswith(name):
+            peak = val
+    if peak is None:
+        log(f"unknown device kind '{kind}'; no MFU (set BENCH_PEAK_TFLOPS)")
+        return None
+    if precision != "bf16":
+        peak = peak / 4.0  # f32 runs the MXU at quarter rate
+    return peak
 
-    enable_compile_cache()
-    import jax.numpy as jnp
 
-    from calodiffusion_tpu.models.diffusion import CaloDiffusion
-
-    config = {
+def _base_config(**overrides):
+    cfg = {
         "DATASET_NUM": 2,
         "SHAPE_ORIG": [-1, 6480],
         "SHAPE_PAD": [-1, 1, 45, 16, 9],
@@ -49,19 +79,114 @@ def measure_ours(batch: int, num_steps: int, runs: int = 3) -> float:
         "CHECKPOINT_NAME": "bench",
         "PRECISION": os.environ.get("BENCH_PRECISION", "bf16"),
     }
+    cfg.update(overrides)
+    return cfg
+
+
+def _dataset_config(name: str, tmpdir: str):
+    """Benchmark geometry for each dataset family (shipped config sizes)."""
+    if name == "ds2":
+        return _base_config()
+    if name == "ds3":
+        return _base_config(
+            DATASET_NUM=3,
+            SHAPE_ORIG=[-1, 40500],
+            SHAPE_PAD=[-1, 1, 45, 50, 18],
+            SHAPE_FINAL=[-1, 1, 45, 50, 18],
+        )
+    if name == "ds1":
+        # dataset-1 'orig-NN': in-model NNConverter embed in the loop.
+        # Synthetic binning XML with the photon R-union grid (30 bins);
+        # throughput is architecture-determined.
+        xml = os.path.join(tmpdir, "bench_ds1.xml")
+        edges = ",".join(str(2 * i) for i in range(31))
+        with open(xml, "w") as f:
+            f.write(
+                '<Bins>\n<Particle name="photon">\n'
+                + "".join(
+                    f'  <Bin id="{i}" r_edges="{edges}" n_bin_alpha='
+                    f'"{10 if 0 < i < 4 else 1}"/>\n'
+                    for i in range(5)
+                )
+                + "</Particle>\n</Bins>\n"
+            )
+        total = 30 * (1 + 10 + 10 + 10 + 1)
+        return _base_config(
+            DATASET_NUM=1,
+            BIN_FILE=xml,
+            PART_TYPE="photon",
+            SHOWER_EMBED="orig-NN",
+            SHAPE_ORIG=[-1, total],
+            SHAPE_PAD=[-1, 1, total],
+            SHAPE_FINAL=[-1, 1, 5, 10, 30],
+            LAYER_SIZE_UNET=[32, 32, 64, 96],
+            R_Z_INPUT=False, PHI_INPUT=True,
+        )
+    if name == "hgcal":
+        # HGCal with the in-model GLaM encode/decode in the loop on a
+        # synthetic geometry of realistic size (~1950 cells, 28 layers)
+        from calodiffusion_tpu.utils import hgcal_utils
+
+        geom_path = os.path.join(tmpdir, "bench_geom.pkl")
+        geom = hgcal_utils.make_synthetic_geom(
+            nlayers=28, cells_per_ring=6, nrings=25
+        )
+        hgcal_utils.save_geom(geom, geom_path)
+        C = geom.max_ncell
+        return _base_config(
+            HGCAL=True,
+            DATASET_NUM=111,
+            BIN_FILE=geom_path,
+            SHOWER_EMBED="NN",
+            SHAPE_ORIG=[-1, 28, C],
+            SHAPE_PAD=[-1, 1, 28, C],
+            SHAPE_FINAL=[-1, 1, 28, 12, 21],
+            LAYER_SIZE_UNET=[32, 32, 64, 96],
+            PHI_INPUT=True,
+            EMAX=[100, 2.01, 1.572], EMIN=[50, 1.99, 1.57],
+            logE=False, MAXDEP=1.0,
+        )
+    raise ValueError(name)
+
+
+def measure_sampling(config, batch: int, num_steps: int, runs: int = 3,
+                     want_flops: bool = False):
+    """Returns (showers/sec, flops_per_run or None)."""
+    import jax
+    import jax.numpy as jnp
+
+    from calodiffusion_tpu.models.diffusion import CaloDiffusion
+
     model = CaloDiffusion(config, n_steps=num_steps, loss_type="l2")
     key = jax.random.PRNGKey(0)
     params = model.init(key)
     sampler = model.make_sampler()
 
-    E = jnp.asarray(jax.random.uniform(jax.random.PRNGKey(1), (batch, 1)))
-    layers = jnp.asarray(jax.random.normal(jax.random.PRNGKey(2), (batch, 46)))
+    n_cond = 3 if config.get("HGCAL") else 1
+    E = jnp.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (batch, n_cond))
+    )
+    n_lay = config["SHAPE_FINAL"][2] + 1
+    layers = jnp.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), (batch, n_lay))
+    )
 
     fn = jax.jit(
         lambda p, k: model.sample(
             p, k, E, layers=layers, num_steps=num_steps, sampler=sampler
         )
     )
+
+    flops = None
+    if want_flops:
+        try:
+            compiled = fn.lower(params, jax.random.PRNGKey(3)).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception as e:
+            log(f"cost analysis unavailable: {e}")
 
     log(f"compiling + warmup (batch={batch}, steps={num_steps}, "
         f"precision={config['PRECISION']}) ...")
@@ -77,17 +202,111 @@ def measure_ours(batch: int, num_steps: int, runs: int = 3) -> float:
         out = fn(params, k)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    best = min(times)
     log(f"run times: {['%.3f' % t for t in times]}")
-    return batch / best
+    best = min(times)
+    return batch / best, (flops, best) if flops else None
+
+
+def measure_train_step(config, batch: int, runs: int = 10) -> float:
+    """Jitted fwd+bwd+Adam samples/sec (the BASELINE.md training metric)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from calodiffusion_tpu.models.diffusion import CaloDiffusion
+
+    model = CaloDiffusion(config, n_steps=400, loss_type="l2")
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    shape = [batch] + list(config["SHAPE_PAD"][1:])
+    data = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+    E = jax.random.uniform(jax.random.PRNGKey(2), (batch, 1))
+    layers = jax.random.normal(
+        jax.random.PRNGKey(3), (batch, config["SHAPE_FINAL"][2] + 1)
+    )
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.compute_loss(p, key, data, E, layers=layers)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(4))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(runs):
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.PRNGKey(5 + i)
+        )
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / runs
+    log(f"train step: {dt * 1e3:.1f} ms @ batch {batch}")
+    return batch / dt
 
 
 def main():
+    import tempfile
+
+    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
+
     num_steps = int(os.environ.get("BENCH_STEPS", 400))
     batch = int(os.environ.get("BENCH_BATCH", 128))
+    bench_all = os.environ.get("BENCH_ALL", "1") != "0"
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
 
-    ours = measure_ours(batch, num_steps)
+    tmpdir = tempfile.mkdtemp(prefix="bench_geo_")
+    extras = {}
+
+    # primary: ds2 sampling + MFU
+    cfg2 = _dataset_config("ds2", tmpdir)
+    ours, flops_info = measure_sampling(
+        cfg2, batch, num_steps, want_flops=True
+    )
     log(f"ours: {ours:.2f} showers/sec @ {num_steps}-step DDIM")
+    if flops_info:
+        flops, best = flops_info
+        peak = chip_peak_flops(precision)
+        if peak:
+            mfu = flops / best / peak
+            extras["mfu"] = round(mfu, 4)
+            extras["tflops_per_shower"] = round(flops / batch / 1e12, 4)
+            log(f"analytic FLOPs/run: {flops:.3e}  "
+                f"achieved {flops / best / 1e12:.1f} TFLOP/s  "
+                f"MFU {mfu * 100:.1f}%")
+
+    # training throughput
+    try:
+        extras["train_samples_per_sec"] = round(
+            measure_train_step(cfg2, batch), 1
+        )
+    except Exception as e:
+        log(f"train-step bench failed: {e}")
+
+    # other dataset families (architecture-determined throughput)
+    if bench_all:
+        for name, b in (("ds1", 128), ("ds3", 32), ("hgcal", 64)):
+            try:
+                cfg = _dataset_config(name, tmpdir)
+                val, _ = measure_sampling(cfg, b, num_steps, runs=1)
+                extras[f"{name}_showers_per_sec"] = round(val, 3)
+                log(f"{name}: {val:.2f} showers/sec @ batch {b}")
+            except Exception as e:
+                log(f"{name} bench failed: {e}")
+
+    # fidelity gate: separation power from the last training-fidelity run
+    # (BASELINE.json: throughput "at matched separation power")
+    rep = os.path.join(os.path.dirname(__file__), "fidelity_report.json")
+    if os.path.exists(rep):
+        with open(rep) as f:
+            fid = json.load(f)
+        extras["separation_power_etot"] = fid.get("Etot")
+        extras["fidelity_ok"] = fid.get("ok")
 
     try:
         from bench_baselines.reference_torch import measure_reference_cpu
@@ -104,6 +323,7 @@ def main():
         "value": round(ours, 3),
         "unit": "showers/sec/chip",
         "vs_baseline": round(vs, 3) if vs == vs else None,
+        **extras,
     }))
 
 

@@ -8,6 +8,7 @@ the same gate the evaluation suite applies to real data.
 Run: python scripts/tpu_fidelity_check.py [epochs]
 """
 
+import json
 import os
 import sys
 import tempfile
@@ -116,12 +117,49 @@ def main():
     h2, _ = np.histogram((gen > 1e-5).mean(-1), bins=binning, density=True)
     seps["sparsity"] = separation_power(h2, h1, binning)
 
+    # the evaluation suite's own separation powers (Plot.last_separations),
+    # on the same histograms users get from `calodif-inference plot`
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from calodiffusion_tpu.evaluation import plots as plots_mod
+
+        pflags = default_flags(
+            plot_folder=os.path.join(tmp, "plots"), plot_extensions=["png"],
+            plot_reshape=False, generated="fidelity", cms=False,
+            layer_only=False, hgcal=False, EMin=-1.0,
+        )
+        data_dict = {
+            "Geant4": ref.reshape(cfg["SHAPE_FINAL"]),
+            "CaloDiffusion": gen.reshape(cfg["SHAPE_FINAL"]),
+        }
+        for cls, key in ((plots_mod.HistEtot, "plot_Etot"),
+                         (plots_mod.HistERatio, "plot_ERatio"),
+                         (plots_mod.SparsityLayer, "plot_sparsity")):
+            p = cls(pflags, cfg)
+            p(dict(data_dict), ref_e)
+            for name, val in p.last_separations.items():
+                seps[f"{key}|{name}"] = float(val)
+    except Exception as err:
+        print(f"plot-suite separations failed: {err}", flush=True)
+
     for k, v in seps.items():
         print(f"separation[{k}] = {v:.4f}", flush=True)
 
     ok = seps["Etot"] < 0.1 and seps["ERatio"] < 0.1 and \
         seps["layer_profile_L1"] < 0.15
     print("FIDELITY", "OK" if ok else "NEEDS MORE TRAINING")
+
+    # persist for bench.py's "at separation power X" field
+    report = {k: float(v) for k, v in seps.items()}
+    report["ok"] = bool(ok)
+    report["epochs"] = epochs
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fidelity_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
