@@ -179,12 +179,27 @@ def measure_sampling(config, batch: int, num_steps: int, runs: int = 3,
 
     flops = None
     if want_flops:
+        # XLA cost analysis counts a lax.scan/while body ONCE, so analyze a
+        # single denoise step and scale by the sampler's step count (DDim:
+        # one U-Net eval per step)
         try:
-            compiled = fn.lower(params, jax.random.PRNGKey(3)).compile()
-            cost = compiled.cost_analysis()
+            x0 = jnp.zeros(
+                (batch, *model._data_shape), jnp.float32
+            )
+            sig = jnp.ones((batch,) + (1,) * len(model._data_shape),
+                           jnp.float32)
+            den = jax.jit(
+                lambda p, x: model.denoise(p, x, E=E, sigma=sig,
+                                           layers=layers)
+            )
+            cost = den.lower(params, x0).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
-            flops = float(cost.get("flops", 0.0)) or None
+            step_flops = float(cost.get("flops", 0.0))
+            flops = step_flops * num_steps if step_flops else None
+            if flops:
+                log(f"denoise step: {step_flops:.3e} FLOPs "
+                    f"({step_flops / batch / 1e9:.2f} GFLOP/shower/step)")
         except Exception as e:
             log(f"cost analysis unavailable: {e}")
 
