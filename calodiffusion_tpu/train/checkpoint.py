@@ -39,16 +39,28 @@ def _get_checkpointer():
     return _checkpointer
 
 
-def save_arrays(path: str, tree: Any) -> None:
+def save_arrays(path: str, tree: Any, wait: bool = True) -> None:
+    """Orbax save.  ``wait=False`` leaves the write in flight (async) so
+    per-epoch checkpoints overlap the next epoch; any previous in-flight
+    save is drained first (orbax commits atomically via tmp-dir rename, so
+    a crash mid-write never leaves a corrupt checkpoint)."""
     path = _abspath(path)
     ckptr = _get_checkpointer()
-    ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+    ckptr.save(path, tree, force=True)
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async save has committed."""
+    _get_checkpointer().wait_until_finished()
 
 
 def load_arrays(path: str, abstract_tree: Any | None = None) -> Any:
     path = _abspath(path)
     ckptr = _get_checkpointer()
+    ckptr.wait_until_finished()
     if abstract_tree is not None:
         return ckptr.restore(path, abstract_tree)
     return ckptr.restore(path)
@@ -66,6 +78,7 @@ def save_checkpoint(
     val_losses: dict | None = None,
     scheduler_state: dict | None = None,
     early_stop_state: dict | None = None,
+    wait: bool = True,
 ) -> None:
     os.makedirs(folder, exist_ok=True)
     arrays = {"params": params}
@@ -73,7 +86,7 @@ def save_checkpoint(
         arrays["opt_state"] = opt_state
     if ema_params is not None:
         arrays["ema_params"] = ema_params
-    save_arrays(os.path.join(folder, name + ".ckpt"), arrays)
+    save_arrays(os.path.join(folder, name + ".ckpt"), arrays, wait=wait)
 
     host = {
         "epoch": int(epoch),
@@ -100,6 +113,7 @@ def load_checkpoint(folder: str, name: str, abstract_arrays: Any | None = None):
     exact container types: orbax alone returns plain nested dicts, which
     breaks optax namedtuple states."""
     path = os.path.join(folder, name + ".ckpt")
+    wait_for_saves()  # an async save of this very path may be in flight
     if not os.path.exists(_abspath(path)):
         raise CheckpointMissingError(f"No checkpoint at {path}")
     arrays = load_arrays(path, abstract_arrays)

@@ -78,7 +78,7 @@ class Train:
 
     # -- checkpointing -----------------------------------------------------
     def _save(self, name, epoch, training_losses, val_losses, scheduler,
-              early_stopper):
+              early_stopper, wait=True):
         if not self.save_model:
             return
         ckpt_io.save_checkpoint(
@@ -89,6 +89,7 @@ class Train:
             val_losses=val_losses,
             scheduler_state=scheduler.state_dict(),
             early_stop_state=early_stopper.state_dict(),
+            wait=wait,
         )
 
     def pickup_checkpoint(self, scheduler, early_stopper, restart_training):
@@ -383,7 +384,9 @@ class TrainDiffusion(Train):
                 print("Early stopping!")
                 break
 
+            # async: the write overlaps the next epoch; orbax commits
+            # atomically and the next save/restore drains it first
             self._save("checkpoint", epoch, training_losses, val_losses,
-                       scheduler, early_stopper)
+                       scheduler, early_stopper, wait=False)
 
         return epoch, training_losses, val_losses
