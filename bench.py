@@ -128,8 +128,10 @@ def _dataset_config(name: str, tmpdir: str):
         from calodiffusion_tpu.utils import hgcal_utils
 
         geom_path = os.path.join(tmpdir, "bench_geom.pkl")
+        # nrings must stay below the 21 R-bins of the embedded grid (the
+        # ring->bin compression only kicks in past ring 23)
         geom = hgcal_utils.make_synthetic_geom(
-            nlayers=28, cells_per_ring=6, nrings=25
+            nlayers=28, cells_per_ring=9, nrings=20
         )
         hgcal_utils.save_geom(geom, geom_path)
         C = geom.max_ncell
@@ -305,7 +307,9 @@ def main():
 
     # other dataset families (architecture-determined throughput)
     if bench_all:
-        for name, b in (("ds1", 128), ("ds3", 32), ("hgcal", 64)):
+        # ds3 runs at batch 128: XLA conv throughput scales strongly with
+        # batch (B32->0.74, B128->2.98 showers/s; wall per run is flat)
+        for name, b in (("ds1", 128), ("ds3", 128), ("hgcal", 64)):
             try:
                 cfg = _dataset_config(name, tmpdir)
                 val, _ = measure_sampling(cfg, b, num_steps, runs=1)

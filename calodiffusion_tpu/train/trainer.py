@@ -206,24 +206,62 @@ class TrainDiffusion(Train):
         ema_decay = self.ema_decay
         cold_diffu = self.config.get("COLD_DIFFU", False)
         cold_noise_scale = self.config.get("COLD_NOISE", 1.0)
+        # gradient-accumulation microbatching: batches above this split
+        # into sequential chunks inside the jitted step (one optimizer
+        # update over the averaged grads) so huge-geometry configs (HGCal
+        # pions: 47x12x48 grids) train at large global batch without the
+        # activation working set leaving VMEM. 0/absent = off.
+        micro = int(self.config.get("TRAIN_MICROBATCH", 0) or 0)
         if cold_diffu:
             model.init_cold_diffu()
 
+        def batch_loss(p, key, data, E, layers):
+            if cold_diffu:
+                # cold diffusion interpolates from average showers
+                # instead of pure noise (reference train_diffusion.py:55-56)
+                k_n, k_l = jax.random.split(key)
+                noise = jax.random.normal(k_n, data.shape, data.dtype)
+                noise = model.gen_cold_image(E, cold_noise_scale, noise)
+                return model.compute_loss(
+                    p, k_l, data, E, noise=noise, layers=layers
+                )
+            return model.compute_loss(p, key, data, E, layers=layers)
+
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, ema_params, key, data, E, layers):
-            def loss_fn(p):
-                if cold_diffu:
-                    # cold diffusion interpolates from average showers
-                    # instead of pure noise (reference train_diffusion.py:55-56)
-                    k_n, k_l = jax.random.split(key)
-                    noise = jax.random.normal(k_n, data.shape, data.dtype)
-                    noise = model.gen_cold_image(E, cold_noise_scale, noise)
-                    return model.compute_loss(
-                        p, k_l, data, E, noise=noise, layers=layers
-                    )
-                return model.compute_loss(p, key, data, E, layers=layers)
+            B = data.shape[0]
+            if micro and B > micro and B % micro == 0:
+                n_chunks = B // micro
+                keys = jax.random.split(key, n_chunks)
+                resh = lambda a: (
+                    a.reshape(n_chunks, micro, *a.shape[1:])
+                    if a is not None else None
+                )
+                chunks = (keys, resh(data), resh(E), resh(layers))
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                def acc(carry, chunk):
+                    k_c, d_c, e_c, l_c = chunk
+                    loss_c, g_c = jax.value_and_grad(batch_loss)(
+                        params, k_c, d_c, e_c, l_c
+                    )
+                    g_sum, l_sum = carry
+                    return (
+                        jax.tree_util.tree_map(jnp.add, g_sum, g_c),
+                        l_sum + loss_c,
+                    ), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (g_sum, l_sum), _ = jax.lax.scan(
+                    acc, (zeros, jnp.zeros((), jnp.float32)), chunks
+                )
+                grads = jax.tree_util.tree_map(
+                    lambda g: g / n_chunks, g_sum
+                )
+                loss = l_sum / n_chunks
+            else:
+                loss, grads = jax.value_and_grad(batch_loss)(
+                    params, key, data, E, layers
+                )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if ema_decay > 0:
