@@ -59,6 +59,29 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, sh)
 
 
+def shard_params_tp(mesh: Mesh, params: Any) -> Any:
+    """Tensor-parallel parameter placement: weight matrices/kernels shard
+    their output-feature (last) dim over the mesh's "model" axis; vectors
+    (biases, norm scales) replicate.  XLA inserts the activation
+    all-gathers / grad reduce-scatters over ICI automatically - the train
+    step itself stays collective-unaware."""
+    model_size = mesh.shape["model"]
+    if model_size == 1:
+        return replicate(mesh, params)
+
+    def place(x):
+        if (
+            hasattr(x, "ndim") and x.ndim >= 2
+            and x.shape[-1] % model_size == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1)), "model")
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params)
+
+
 def pad_batch_to_multiple(arrays: tuple, multiple: int):
     """Pad the batch dim so it divides the data axis; returns (arrays, n_real)."""
     n = arrays[0].shape[0]
