@@ -1,0 +1,257 @@
+"""Physics-fidelity convergence checks for the non-ds2 families (HGCal
+in-model GLaM and dataset-1 orig-NN), on synthetic energy-structured data.
+
+Complements scripts/tpu_fidelity_check.py (dataset-2): trains the real
+model end-to-end through the real loader/CLI surfaces, generates with
+400-step DDIM, and records separation powers into fidelity_report.json
+(merged with the ds2 entries; bench.py reports from that file).
+
+Run: python scripts/tpu_fidelity_families.py [epochs] [family ...]
+     (default: 25 epochs, both families)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import h5py
+import numpy as np
+
+REPORT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fidelity_report.json",
+)
+
+
+def separations(ref, ref_e, gen, gen_e, nlayer_axis):
+    """Common separation set over (N, ...) physical showers."""
+    from calodiffusion_tpu.evaluation.metrics_utils import separation_power
+
+    seps = {}
+    ref_flat = ref.reshape(ref.shape[0], -1)
+    gen_flat = gen.reshape(gen.shape[0], -1)
+    ref_tot, gen_tot = ref_flat.sum(-1), gen_flat.sum(-1)
+    binning = np.geomspace(
+        max(min(ref_tot.min(), gen_tot.min()), 1e-3),
+        max(ref_tot.max(), gen_tot.max()), 30,
+    )
+    h1, _ = np.histogram(ref_tot, bins=binning, density=True)
+    h2, _ = np.histogram(gen_tot, bins=binning, density=True)
+    seps["Etot"] = float(separation_power(h2, h1, binning))
+
+    ref_ratio = ref_tot / ref_e.reshape(-1)
+    gen_ratio = gen_tot / gen_e.reshape(-1)
+    lo = min(np.quantile(ref_ratio, 0.001), np.quantile(gen_ratio, 0.001))
+    hi = max(np.quantile(ref_ratio, 0.999), np.quantile(gen_ratio, 0.999))
+    binning = np.linspace(lo, hi, 30)
+    h1, _ = np.histogram(ref_ratio, bins=binning, density=True)
+    h2, _ = np.histogram(gen_ratio, bins=binning, density=True)
+    seps["ERatio"] = float(separation_power(h2, h1, binning))
+
+    if nlayer_axis:
+        ref_l = ref.reshape(ref.shape[0], nlayer_axis, -1).sum(-1)
+        gen_l = gen.reshape(gen.shape[0], nlayer_axis, -1).sum(-1)
+        ref_frac = (ref_l / np.maximum(ref_l.sum(1, keepdims=True), 1e-8)).mean(0)
+        gen_frac = (gen_l / np.maximum(gen_l.sum(1, keepdims=True), 1e-8)).mean(0)
+        seps["layer_profile_L1"] = float(np.abs(ref_frac - gen_frac).sum())
+    return seps
+
+
+def run_family(tag, cfg, tmp, epochs, eval_file, energy_key):
+    import jax
+
+    from calodiffusion_tpu.data.loader import load_data
+    from calodiffusion_tpu.train.trainer import TrainDiffusion
+    from calodiffusion_tpu.utils.config import default_flags
+
+    flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt")
+    trainer = TrainDiffusion(flags, cfg)
+    t0 = time.time()
+    model, params = trainer.train()
+    print(f"[{tag}] trained {epochs} epochs in {time.time()-t0:.0f}s",
+          flush=True)
+
+    eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg, eval=True)
+    gen, gen_e = model.generate(params, jax.random.PRNGKey(0), eval_loader,
+                                sample_steps=400)
+    # generate() returns loader-unit (raw x SHOWERSCALE) showers and
+    # physical energies; bring the Geant reference to the same units
+    scale = cfg.get("SHOWERSCALE", 200.0)
+    with h5py.File(os.path.join(tmp, eval_file), "r") as f:
+        ref = f["showers"][:].astype(np.float32) * scale
+        if energy_key == "gen_info":
+            ref_e = f["gen_info"][:, 0].astype(np.float32)
+            gen_e_1d = gen_e[:, 0]
+        else:
+            ref_e = f["incident_energies"][:].astype(np.float32) * scale
+            gen_e_1d = gen_e.reshape(-1)
+    return ref, ref_e, gen, gen_e_1d
+
+
+def hgcal_family(epochs):
+    from calodiffusion_tpu.utils import hgcal_utils
+
+    tmp = tempfile.mkdtemp(prefix="fid_hgcal_")
+    geom_path = os.path.join(tmp, "geom.pkl")
+    geom = hgcal_utils.make_synthetic_geom(nlayers=28, cells_per_ring=9,
+                                           nrings=20)
+    hgcal_utils.save_geom(geom, geom_path)
+    C = geom.max_ncell
+    ring = np.maximum(geom.ring_map, 0.0)       # (28, C)
+    valid = geom.ring_map >= 0
+
+    rng = np.random.default_rng(0)
+    for fname, n in (("hgcal_1.h5", 6144), ("hgcal_2.h5", 1536)):
+        E = rng.uniform(50.0, 100.0, n).astype(np.float32)
+        theta = rng.uniform(1.99, 2.01, n).astype(np.float32)
+        phi = rng.uniform(1.57, 1.572, n).astype(np.float32)
+        gen_info = np.stack([E, theta, phi], axis=1)
+        lay = np.arange(28, dtype=np.float32)[None, :, None]
+        t_max = (8 + 6 * (np.log10(E) - np.log10(50.0)))[:, None, None]
+        prof_z = np.exp(-0.5 * ((lay - t_max) / 5.0) ** 2)
+        prof_r = np.exp(-ring[None] / 4.0) * valid[None]
+        base = prof_z * prof_r
+        showers = base * rng.gamma(2.0, 1.0, (n, 28, C)).astype(np.float32)
+        showers *= 0.5 * E[:, None, None] / np.maximum(
+            base.sum(axis=(1, 2), keepdims=True), 1e-8
+        )
+        showers[rng.uniform(size=showers.shape) < 0.3] = 0
+        with h5py.File(os.path.join(tmp, fname), "w") as f:
+            f.create_dataset("showers", data=showers.astype(np.float32))
+            f.create_dataset("gen_info", data=gen_info)
+
+    from tests.utils_test import tiny_ds2_config
+
+    cfg = tiny_ds2_config(
+        FILES=["hgcal_1.h5"], VAL_FILES=["hgcal_2.h5"], EVAL=["hgcal_2.h5"],
+        HGCAL=True, DATASET_NUM=121, BIN_FILE=geom_path,
+        SHOWER_EMBED="NN", TRAINABLE_EMBED=False,
+        SHAPE_ORIG=[-1, 28, C],
+        SHAPE_PAD=[-1, 1, 28, C],
+        SHAPE_FINAL=[-1, 1, 28, 12, 21],
+        MAX_CELLS=C,
+        LAYER_SIZE_UNET=[16, 16, 32, 32], COND_SIZE_UNET=64,
+        BLOCK_ATTN=False, MID_ATTN=True,
+        R_Z_INPUT=True, PHI_INPUT=True,
+        EMAX=[100, 2.01, 1.572], EMIN=[50, 1.99, 1.57],
+        logE=False, MAXDEP=1.0, SHOWERSCALE=200.0, ECUT=0.0,
+        BATCH=64, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
+        CHECKPOINT_NAME="fidelity_hgcal",
+    )
+    ref, ref_e, gen, gen_e = run_family(
+        "hgcal", cfg, tmp, epochs, "hgcal_2.h5", "gen_info"
+    )
+    return separations(ref, ref_e, gen, gen_e, nlayer_axis=28)
+
+
+def ds1_family(epochs):
+    from calodiffusion_tpu.utils.geom import GeomConverter
+    from calodiffusion_tpu.utils.xml_handler import XMLHandler
+
+    tmp = tempfile.mkdtemp(prefix="fid_ds1_")
+    xml = os.path.join(tmp, "binning.xml")
+    with open(xml, "w") as f:
+        f.write("".join([
+            '<Bins>\n<Particle name="photon">\n',
+            '  <Bin id="0" r_edges="',
+            ",".join(str(i) for i in range(0, 31, 2)), '" n_bin_alpha="1"/>\n',
+            '  <Bin id="1" r_edges="',
+            ",".join(str(i) for i in range(0, 31)), '" n_bin_alpha="10"/>\n',
+            '  <Bin id="2" r_edges="',
+            ",".join(str(i) for i in range(0, 31, 3)), '" n_bin_alpha="10"/>\n',
+            '  <Bin id="3" r_edges="',
+            ",".join(str(i) for i in range(0, 31, 5)), '" n_bin_alpha="1"/>\n',
+            "</Particle>\n</Bins>\n",
+        ]))
+    bins = XMLHandler("photon", xml)
+    total = bins.GetTotalNumberOfBins()
+    r_out = GeomConverter(bins).dim_r_out
+
+    rng = np.random.default_rng(1)
+    # layer boundaries in the flat layout
+    bounds = np.asarray(bins.GetBinEdges())
+    lay_sizes = np.diff(bounds)
+
+    for fname, n in (("dataset_1_photons_1.hdf5", 6144),
+                     ("dataset_1_photons_2.hdf5", 1536)):
+        # raw MeV so that x SHOWERSCALE(0.001) lands in [EMIN, EMAX] GeV
+        E = (256.0 * (4194304.0 / 256.0) **
+             rng.uniform(0, 1, (n, 1))).astype(np.float32)
+        voxels = []
+        t_max = 1.0 + 1.5 * np.log10(E / 256.0) / 4.2            # (n,1)
+        for lay_i, size in enumerate(lay_sizes):
+            prof_z = np.exp(-0.5 * ((lay_i - t_max) / 1.2) ** 2)  # (n,1)
+            r_frac = np.linspace(0, 1, int(size), endpoint=False)[None, :]
+            prof_r = np.exp(-3.0 * r_frac)
+            voxels.append(prof_z * prof_r)
+        base = np.concatenate(voxels, axis=1)                      # (n,total)
+        showers = base * rng.gamma(2.0, 1.0, (n, total)).astype(np.float32)
+        showers *= 0.4 * E / np.maximum(base.sum(1, keepdims=True), 1e-8)
+        showers[rng.uniform(size=showers.shape) < 0.3] = 0
+        with h5py.File(os.path.join(tmp, fname), "w") as f:
+            f.create_dataset("showers", data=showers.astype(np.float32))
+            f.create_dataset("incident_energies", data=E)
+
+    from tests.utils_test import tiny_ds2_config
+
+    cfg = tiny_ds2_config(
+        FILES=["dataset_1_photons_1.hdf5"],
+        VAL_FILES=["dataset_1_photons_2.hdf5"],
+        EVAL=["dataset_1_photons_2.hdf5"],
+        DATASET_NUM=1, BIN_FILE=xml, PART_TYPE="photon",
+        SHOWER_EMBED="orig-NN",
+        SHAPE_ORIG=[-1, total],
+        SHAPE_PAD=[-1, 1, total],
+        SHAPE_FINAL=[-1, 1, 4, 10, r_out],
+        LAYER_SIZE_UNET=[16, 16, 32, 32], COND_SIZE_UNET=64,
+        BLOCK_ATTN=False, MID_ATTN=True,
+        R_Z_INPUT=False, PHI_INPUT=True,
+        EMAX=4194.304, EMIN=0.256, MAXDEP=3.1, ECUT=0.0,
+        SHOWERSCALE=0.001,
+        BATCH=128, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
+        CHECKPOINT_NAME="fidelity_ds1",
+    )
+    ref, ref_e, gen, gen_e = run_family(
+        "ds1", cfg, tmp, epochs, "dataset_1_photons_2.hdf5",
+        "incident_energies",
+    )
+    return separations(ref, ref_e, gen, gen_e, nlayer_axis=None)
+
+
+def main():
+    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
+
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    families = sys.argv[2:] or ["hgcal", "ds1"]
+
+    report = {}
+    if os.path.exists(REPORT):
+        with open(REPORT) as f:
+            report = json.load(f)
+
+    runners = {"hgcal": hgcal_family, "ds1": ds1_family}
+    for fam in families:
+        seps = runners[fam](epochs)
+        for k, v in seps.items():
+            print(f"[{fam}] separation[{k}] = {v:.4f}", flush=True)
+            report[f"{fam}_{k}"] = v
+        report[f"{fam}_ok"] = bool(
+            seps["Etot"] < 0.1 and seps["ERatio"] < 0.1
+        )
+        print(f"[{fam}] FIDELITY",
+              "OK" if report[f"{fam}_ok"] else "NEEDS MORE TRAINING",
+              flush=True)
+
+    with open(REPORT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {REPORT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
