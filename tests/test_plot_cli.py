@@ -1,0 +1,61 @@
+"""Standalone plot CLI smoke test (the reference's plot.py is broken at
+plot.py:113,122; ours must actually run end-to-end)."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from tests.utils_test import tiny_ds2_config
+
+
+@pytest.fixture()
+def plot_workspace(tmp_path):
+    rng = np.random.default_rng(0)
+    for fname in ("dataset_2_2.hdf5", "generated.h5"):
+        showers = rng.exponential(1.0, (24, 6480)).astype(np.float32)
+        showers[rng.uniform(size=showers.shape) < 0.8] = 0
+        with h5py.File(tmp_path / fname, "w") as f:
+            f.create_dataset("showers", data=showers)
+            f.create_dataset(
+                "incident_energies",
+                data=rng.uniform(1e3, 1e6, (24, 1)).astype(np.float32),
+            )
+    cfg = tiny_ds2_config(EVAL=["dataset_2_2.hdf5"])
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return tmp_path, str(cfg_path)
+
+
+def test_standalone_plot_cli(plot_workspace):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from calodiffusion_tpu.plot import plot
+
+    root, cfg_path = plot_workspace
+    plot([
+        "-c", cfg_path, "-d", str(root) + "/",
+        "-g", str(root / "generated.h5"),
+        "--plot-folder", str(root / "plots"),
+    ])
+    outdir = root / "plots" / "tiny_ds2"
+    pngs = list(outdir.glob("*.png"))
+    assert len(pngs) > 5, f"expected histogram outputs, got {pngs}"
+
+
+def test_standalone_plot_cli_geant_only(plot_workspace):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from calodiffusion_tpu.plot import plot
+
+    root, cfg_path = plot_workspace
+    plot([
+        "-c", cfg_path, "-d", str(root) + "/",
+        "--geant-only",
+        "--plot-folder", str(root / "plots_geant"),
+    ])
+    assert list((root / "plots_geant" / "tiny_ds2").glob("*.png"))
