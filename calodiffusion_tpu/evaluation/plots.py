@@ -623,3 +623,87 @@ class PhiCenterHGCal(Plot):
                               xlabel="Layer", no_mean=True)
         for name in self.save_names("PhiWidthLayer"):
             self.save_fig(name, fig, ax0)
+
+
+# ---------------------------------------------------------------------------
+# standalone shower-drawing helpers (reference utils/plots.py:1094-1160
+# plot_shower_layer; plot_shower_hex is called by the reference's legacy
+# scripts but defined nowhere - implemented working here)
+# ---------------------------------------------------------------------------
+
+def plot_shower_layer(data, fname="", title=None, fig=None,
+                      subplot=(1, 1, 1), vmin=None, vmax=None,
+                      r_edges=None):
+    """Polar (phi x R) heatmap of one regular-grid layer; ``data`` is
+    (n_phi, n_rad)."""
+    from matplotlib.colors import LogNorm
+
+    if fig is None:
+        fig = plt.figure(figsize=(5, 5), dpi=200)
+    n_phi, n_rad = data.shape
+    pts = 50
+    if r_edges is None:
+        r_edges = np.arange(n_rad + 1)
+    phi_bins = 2.0 * np.pi * np.arange(pts * n_phi + 1) / (pts * n_phi)
+    theta, rad = np.meshgrid(phi_bins, np.asarray(r_edges, float))
+    rep = np.repeat(data.reshape(n_phi, -1), pts, axis=0)
+    ax = fig.add_subplot(*subplot, polar=True)
+    ax.grid(False)
+    if vmax is None:
+        vmax = max(float(np.max(data)), 1e-12)
+    if vmin is None:
+        vmin = 1e-2 if vmax > 1e-3 else vmax / 100.0
+    pcm = ax.pcolormesh(theta, rad, rep.T + 1e-16,
+                        norm=LogNorm(vmin=vmin, vmax=vmax))
+    ax.axes.get_xaxis().set_visible(False)
+    ax.axes.get_yaxis().set_visible(False)
+    ax.set_rmax(float(np.max(r_edges)))
+    if title is not None:
+        ax.set_title(title, fontsize=10)
+    fig.colorbar(pcm, ax=ax, fraction=0.05, orientation="horizontal",
+                 label="Energy (GeV)")
+    if fname:
+        fig.savefig(fname, facecolor="white")
+        plt.close(fig)
+    return fig
+
+
+def plot_shower_hex(x, y, values, nrings=None, fout="", title=None,
+                    vmin=None, vmax=None):
+    """Hexagonal-cell heatmap of one HGCal layer: cell centers (x, y) with
+    energies ``values`` drawn as hex markers (log color scale)."""
+    from matplotlib.colors import LogNorm
+
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    values = np.asarray(values, float)
+    fig, ax = plt.subplots(figsize=(5.5, 5), dpi=200)
+    pos = values > 0
+    vmax = vmax or max(float(values.max()), 1e-12)
+    vmin = vmin or max(vmax * 1e-4, 1e-12)
+    extent = float(max(np.abs(x).max(), np.abs(y).max())) * 1.1 + 1e-9
+    # marker area scaled to the cell pitch so hexes tile without gaps
+    # (geometry pickles may carry nrings as a per-layer array)
+    if nrings is not None and np.size(nrings):
+        nrings = int(np.max(nrings))
+    if nrings:
+        pitch_pts = (ax.get_window_extent().width / (2.2 * nrings))
+    else:
+        pitch_pts = 6.0
+    sc = ax.scatter(
+        x[pos], y[pos], c=values[pos], marker="h", s=pitch_pts**2,
+        norm=LogNorm(vmin=vmin, vmax=vmax), cmap="viridis",
+        edgecolors="none",
+    )
+    ax.scatter(x[~pos], y[~pos], color="0.92", marker="h", s=pitch_pts**2,
+               edgecolors="none")
+    ax.set_xlim(-extent, extent)
+    ax.set_ylim(-extent, extent)
+    ax.set_aspect("equal")
+    if title:
+        ax.set_title(title, fontsize=10)
+    fig.colorbar(sc, ax=ax, label="Energy (GeV)")
+    if fout:
+        fig.savefig(fout, facecolor="white")
+        plt.close(fig)
+    return fig

@@ -63,3 +63,51 @@ def test_split_and_batched_apply():
     assert a.shape == (80, 1) and b.shape == (20, 1)
     out = apply_in_batches(lambda x: x * 2, data, batch_size=7)
     np.testing.assert_allclose(out, data * 2)
+
+
+def test_plot_h5_shower_tool(tmp_path):
+    """Hex-cell shower drawing CLI (the reference's legacy script calls an
+    undefined plot_shower_hex; ours must run)."""
+    import h5py
+
+    from calodiffusion_tpu.tools.plot_h5_shower import main
+    from calodiffusion_tpu.utils import hgcal_utils
+
+    geom = hgcal_utils.make_synthetic_geom(nlayers=3, cells_per_ring=6,
+                                           nrings=4)
+    geom_path = str(tmp_path / "geom.pkl")
+    hgcal_utils.save_geom(geom, geom_path)
+    C = geom.max_ncell
+    rng = np.random.default_rng(0)
+    with h5py.File(tmp_path / "showers.h5", "w") as f:
+        f.create_dataset(
+            "showers", data=rng.exponential(0.01, (4, 3, C)).astype(np.float32)
+        )
+    out = tmp_path / "plots"
+    main(["-g", geom_path, "-i", str(tmp_path / "showers.h5"),
+          "-n", "1", "-o", str(out)])
+    assert (out / "shower0_lay0.png").exists()
+    assert (out / "avg_shower_lay2.png").exists()
+
+
+def test_plot_avg_shower_tool(tmp_path):
+    import json
+
+    import h5py
+
+    from calodiffusion_tpu.tools.plot_avg_shower import main
+    from tests.utils_test import tiny_ds2_config
+
+    cfg = tiny_ds2_config()
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(1)
+    with h5py.File(tmp_path / "showers.h5", "w") as f:
+        f.create_dataset(
+            "showers",
+            data=rng.exponential(1.0, (8, 6480)).astype(np.float32),
+        )
+    out = tmp_path / "plots"
+    main(["-c", str(tmp_path / "config.json"),
+          "-i", str(tmp_path / "showers.h5"), "-o", str(out)])
+    assert (out / "avg_shower_lay0.png").exists()
+    assert (out / "avg_shower_lay44.png").exists()
