@@ -222,6 +222,75 @@ def ds1_family(epochs):
     return separations(ref, ref_e, gen, gen_e, nlayer_axis=None)
 
 
+def layer_family(epochs):
+    """Two-stage cascade (LayerDiffusion): train base + layer models on
+    synthetic ds2, generate layer energies with stage 1 and showers with
+    stage 2, gate on separations (reference layerdiffusion.py flow)."""
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(REPORT)))
+    from scripts.tpu_fidelity_check import synth_showers
+
+    from calodiffusion_tpu.data.loader import load_data
+    from calodiffusion_tpu.train.train_layer_model import TrainLayerModel
+    from calodiffusion_tpu.train.trainer import TrainDiffusion
+    from calodiffusion_tpu.utils.config import default_flags
+    from tests.utils_test import tiny_ds2_config
+
+    tmp = tempfile.mkdtemp(prefix="fid_layer_")
+    rng = np.random.default_rng(0)
+    for fname, n in (("dataset_2_1.hdf5", 8192), ("dataset_2_2.hdf5", 1536)):
+        showers, e_inc = synth_showers(n, rng)
+        with h5py.File(os.path.join(tmp, fname), "w") as f:
+            f.create_dataset("showers", data=showers)
+            f.create_dataset("incident_energies", data=e_inc)
+
+    cfg = tiny_ds2_config(
+        VAL_FILES=["dataset_2_2.hdf5"], EVAL=["dataset_2_2.hdf5"],
+        BATCH=128, MAXEPOCH=epochs, NSTEPS=400, LAYER_STEPS=400,
+        LAYER_SIZE_UNET=[32, 32, 64, 32], COND_SIZE_UNET=128,
+        BLOCK_ATTN=True, MID_ATTN=True, PRECISION="bf16",
+        CHECKPOINT_NAME="fidelity_cascade",
+    )
+    flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt")
+
+    t0 = time.time()
+    base_trainer = TrainDiffusion(flags, dict(cfg))
+    base_trainer.train()
+    print(f"[layer] base model trained in {time.time()-t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    layer_trainer = TrainLayerModel(
+        default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt_layer"),
+        dict(cfg),
+    )
+    layer_trainer.train()
+    print(f"[layer] layer model trained in {time.time()-t0:.0f}s", flush=True)
+
+    # two-stage inference through the composite loading path
+    inf_cfg = dict(
+        cfg, layer_model=os.path.join(
+            layer_trainer.checkpoint_folder, "final.ckpt"
+        )
+    )
+    inf_flags = default_flags(
+        data_folder=tmp,
+        model_loc=os.path.join(base_trainer.checkpoint_folder, "final.ckpt"),
+    )
+    inf = TrainLayerModel(inf_flags, inf_cfg, load_data=False,
+                          save_model=False, inference=True)
+    model, params = inf.load_for_inference()
+    eval_loader, _ = load_data(default_flags(data_folder=tmp), inf_cfg,
+                               eval=True)
+    gen, gen_e = model.generate(params, jax.random.PRNGKey(0), eval_loader,
+                                sample_steps=400)
+
+    with h5py.File(os.path.join(tmp, "dataset_2_2.hdf5"), "r") as f:
+        ref = f["showers"][:].astype(np.float32) * 0.001
+        ref_e = f["incident_energies"][:].astype(np.float32) * 0.001
+    return separations(ref, ref_e, gen, gen_e.reshape(-1), nlayer_axis=45)
+
+
 def main():
     from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
 
@@ -235,7 +304,8 @@ def main():
         with open(REPORT) as f:
             report = json.load(f)
 
-    runners = {"hgcal": hgcal_family, "ds1": ds1_family}
+    runners = {"hgcal": hgcal_family, "ds1": ds1_family,
+               "layer": layer_family}
     for fam in families:
         seps = runners[fam](epochs)
         for k, v in seps.items():
