@@ -241,8 +241,19 @@ def layer_family(epochs):
     rng = np.random.default_rng(0)
     for fname, n in (("dataset_2_1.hdf5", 8192), ("dataset_2_2.hdf5", 1536)):
         showers, e_inc = synth_showers(n, rng)
+        # rescale per-event totals into the calibrated totalE range: the
+        # layer-energy diffusion works in consts-standardized space, and
+        # the raw synthetic deposit fraction sits ~90 sigma outside the
+        # real-data constants, which starves the fraction dims of gradient
+        from calodiffusion_tpu.utils import consts
+
+        c = consts.dataset_params[2]
+        z = np.clip(rng.standard_normal((n, 1)), -3, 3)
+        target = 2.0 * e_inc * (c["totalE_mean"] + c["totalE_std"] * z)
+        cur = showers.sum(axis=1, keepdims=True)
+        showers = showers * (target / np.maximum(cur, 1e-8))
         with h5py.File(os.path.join(tmp, fname), "w") as f:
-            f.create_dataset("showers", data=showers)
+            f.create_dataset("showers", data=showers.astype(np.float32))
             f.create_dataset("incident_energies", data=e_inc)
 
     cfg = tiny_ds2_config(
