@@ -48,9 +48,12 @@ def chip_peak_flops(precision: str) -> float | None:
 
     kind = jax.devices()[0].device_kind
     peak = None
-    for name, val in PEAK_BF16.items():
+    # Longest matching prefix wins: "TPU v5 lite" must resolve to the v5e
+    # entry (197), not fall through to the bare "TPU v5" (v5p, 459).
+    for name in sorted(PEAK_BF16, key=len, reverse=True):
         if kind.startswith(name):
-            peak = val
+            peak = PEAK_BF16[name]
+            break
     if peak is None:
         log(f"unknown device kind '{kind}'; no MFU (set BENCH_PEAK_TFLOPS)")
         return None

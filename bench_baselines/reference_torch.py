@@ -17,7 +17,7 @@ import time
 import types
 
 CACHE = os.path.join(os.path.dirname(__file__), "..", "bench_baseline_cache.json")
-REFERENCE_ROOT = "/root/reference"
+REFERENCE_ROOT = os.environ.get("CALODIF_REFERENCE_ROOT", "/root/reference")
 
 
 def _stub_missing_modules():

@@ -244,6 +244,18 @@ def load_data(flags, config: dict, eval: bool = False):
     import h5py as h5
 
     for i, dataset in enumerate(files + val_file_list):
+        is_val = i >= len(files)
+        if is_val and job_idx >= 0 and (evt_start > 0 or not train_files):
+            # the --job-idx slice is a slice of the TRAIN events only;
+            # letting it run into VAL_FILES would silently turn validation
+            # data into per-job training data and shift which events each
+            # job validates on (ADVICE r2).  evt_start > 0: offset still
+            # unconsumed; empty train_files: offset ate the train list
+            # exactly and the "train" slice would start at VAL_FILES[0].
+            raise ValueError(
+                f"--job-idx {job_idx} with -n {getattr(flags, 'nevts', -1)}"
+                " starts past the end of the training files"
+            )
         if evt_start > 0:
             with h5.File(dataset, "r") as f:
                 raw_nevts = f["showers"].shape[0]

@@ -45,6 +45,68 @@ class ScalarFormatterClass(mtick.ScalarFormatter):
         self.format = "%1.2f"
 
 
+def apply_cms_style() -> None:
+    """CMS publication style for ``--cms`` (reference utils/plots.py:157-160
+    uses ``mplhep.style.CMS``).  mplhep is used when installed; otherwise an
+    equivalent rcParams set (the core of hep.style.CMS) is applied so the
+    flag works without the optional dependency."""
+    try:  # pragma: no cover - mplhep not installed in the test image
+        import mplhep as hep
+
+        matplotlib.style.use(hep.style.CMS)
+        return
+    except Exception:
+        pass
+    matplotlib.rcParams.update(
+        {
+            "font.family": "sans-serif",
+            "font.sans-serif": ["TeX Gyre Heros", "Helvetica", "Arial",
+                                "DejaVu Sans"],
+            "mathtext.fontset": "custom",
+            "mathtext.default": "regular",
+            "font.size": 26.0,
+            "axes.labelsize": "medium",
+            "axes.linewidth": 2,
+            "axes.unicode_minus": False,
+            "xtick.direction": "in",
+            "ytick.direction": "in",
+            "xtick.major.size": 12,
+            "xtick.minor.size": 6,
+            "xtick.major.width": 1.2,
+            "ytick.major.size": 12,
+            "ytick.minor.size": 6,
+            "ytick.major.width": 1.2,
+            "xtick.top": True,
+            "ytick.right": True,
+            "xtick.minor.visible": True,
+            "ytick.minor.visible": True,
+            "legend.frameon": False,
+            "legend.fontsize": "small",
+            "lines.linewidth": 2,
+            "grid.alpha": 0.8,
+        }
+    )
+
+
+def cms_header(ax) -> None:
+    """'CMS Simulation Preliminary' header (reference: hep.cms.text)."""
+    try:  # pragma: no cover
+        import mplhep as hep
+
+        hep.cms.text(ax=ax, text="Simulation Preliminary")
+        return
+    except Exception:
+        pass
+    ax.text(
+        0.0, 1.005, "CMS", transform=ax.transAxes, fontsize=28,
+        fontweight="bold", va="bottom", ha="left",
+    )
+    ax.text(
+        0.16, 1.005, "Simulation Preliminary", transform=ax.transAxes,
+        fontsize=21, fontstyle="italic", va="bottom", ha="left",
+    )
+
+
 class Plot(ABC):
     def __init__(self, flags, config) -> None:
         self.flags = flags
@@ -72,6 +134,9 @@ class Plot(ABC):
         else:
             self.shape_plot = config["SHAPE_PAD"]
         self.last_separations: dict[str, float] = {}
+        self.cms = bool(getattr(flags, "cms", False))
+        if self.cms:
+            apply_cms_style()
 
     # -- figure plumbing ---------------------------------------------------
     def save_names(self, plot_name) -> list[str]:
@@ -133,6 +198,8 @@ class Plot(ABC):
         fig, gs = self.SetGrid(ratio)
         ax0 = plt.subplot(gs[0])
         ax1 = plt.subplot(gs[1], sharex=ax0) if ratio else None
+        if self.cms:
+            cms_header(ax0)
 
         if binning is None:
             ref = feed_dict[reference_name]

@@ -97,6 +97,31 @@ def test_job_idx_spillover_across_files(tmp_path):
     np.testing.assert_allclose(E_job, E_file2, rtol=1e-6)
 
 
+def test_job_idx_never_spills_into_val_files(tmp_path):
+    """The --job-idx slice is a slice of the TRAIN events only; a slice that
+    exhausts the train files must raise, not silently consume VAL_FILES as
+    per-job training data (ADVICE r2)."""
+    import pytest
+
+    _make_file(tmp_path / "dataset_2_1.hdf5", 16)
+    _make_file(tmp_path / "dataset_2_val.hdf5", 16)
+    cfg = tiny_ds2_config(
+        FILES=["dataset_2_1.hdf5"], VAL_FILES=["dataset_2_val.hdf5"], BATCH=8
+    )
+    flags = default_flags(data_folder=str(tmp_path), nevts=16, job_idx=1)
+    with pytest.raises(ValueError, match="training files"):
+        load_data(flags, cfg)
+
+    # a slice that stays within the train file still works (val loader is
+    # None because the nevts budget breaks before VAL_FILES — reference
+    # parity: utils.py:973-976 decrements the same budget across both lists)
+    flags0 = default_flags(data_folder=str(tmp_path), nevts=8, job_idx=1)
+    train, val = load_data(flags0, cfg)
+    E = _collect_E(train)
+    assert E.shape[0] == 8
+    assert val is None
+
+
 def test_showerscale_default_matches_reference(tmp_path):
     """A config omitting SHOWERSCALE must use the reference loader default
     of 200.0 (utils.py:871) - NOT 0.001.  The reference's shipped

@@ -18,17 +18,24 @@ import sys
 import numpy as np
 import pytest
 
-REFERENCE_ROOT = "/root/reference"
+REFERENCE_ROOT = os.environ.get("CALODIF_REFERENCE_ROOT", "/root/reference")
 
+_ref_available = os.path.exists(os.path.join(REFERENCE_ROOT, "calodiffusion"))
+if not _ref_available and os.environ.get("CALODIF_REQUIRE_REFERENCE"):
+    # CI gate: missing reference must fail, not skip green (VERDICT Weak #5).
+    raise RuntimeError(
+        f"CALODIF_REQUIRE_REFERENCE is set but no reference checkout at "
+        f"{REFERENCE_ROOT} — parity matrix would silently skip"
+    )
 pytestmark = [
     pytest.mark.slow,  # ~4 min: builds 12 torch+flax model pairs
-    pytest.mark.skipif(
-        not os.path.exists(os.path.join(REFERENCE_ROOT, "calodiffusion")),
-        reason="reference checkout not available",
-    ),
+    pytest.mark.skipif(not _ref_available, reason="reference checkout not available"),
 ]
 
-torch = pytest.importorskip("torch")
+if os.environ.get("CALODIF_REQUIRE_REFERENCE"):
+    import torch  # hard requirement under the CI gate
+else:
+    torch = pytest.importorskip("torch")
 
 from tests.utils_test import tiny_ds2_config  # noqa: E402
 
