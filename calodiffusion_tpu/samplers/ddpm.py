@@ -57,6 +57,13 @@ class DDim(Sample):
 
         x = start * tables["sigma"][0]
         stochastic = self.ddim_eta != 0.0
+        inj = (
+            self.take_noise(len(tabs["sigma"]), start.shape)
+            if stochastic
+            else None
+        )
+        if inj is not None:
+            tables["noise"] = inj
 
         def body(carry, row):
             x, k = carry
@@ -66,7 +73,11 @@ class DDim(Sample):
             noise_pred = (x - x0_pred) / sigma_b
             step = x0_pred + row["mask"] * row["sigma_prev"] * noise_pred
             if stochastic:
-                noise = jax.random.normal(kn, x.shape, dtype=x.dtype)
+                noise = (
+                    row["noise"]
+                    if inj is not None
+                    else jax.random.normal(kn, x.shape, dtype=x.dtype)
+                )
                 step = step + row["noise_coeff"] * noise
             out = (step, x0_pred) if debug else None
             return (step, k), out

@@ -177,12 +177,14 @@ class DPM(Sample):
                 )
                 noise = jax.random.normal(kn, x.shape, dtype=x.dtype)
                 x = x + row["su"] * self.s_noise * noise
-                return (x, k), None
+                return (x, k), (x if debug else None)
 
-            (x, key), _ = jax.lax.scan(body, (x, key), rows)
+            (x, key), seg_traj = jax.lax.scan(body, (x, key), rows)
             start_idx = n3
+            seg_xs = [seg_traj[i] for i in range(n3)] if debug else []
         else:
             start_idx = 0
+            seg_xs = []
 
         # remaining segments (small, traced inline)
         for i in range(start_idx, len(orders)):
@@ -200,9 +202,13 @@ class DPM(Sample):
                 x = x + su * self.s_noise * jax.random.normal(
                     kn, x.shape, dtype=x.dtype
                 )
+            if debug:
+                seg_xs.append(x)
 
         if debug:
-            return x, None, None
+            # per-SEGMENT states (this solver steps in multi-eval segments,
+            # not single sigma steps)
+            return x, jnp.stack(seg_xs) if seg_xs else None, None
         return x
 
 
@@ -380,9 +386,9 @@ class DPMPP2S(DPM):
             x2 = row["c_x2_x"] * x + row["c_x2_d"] * d0
             d1 = denoise(x2, jnp.ones(bs, jnp.float32) * row["sig_mid"])
             x = row["c_x_x"] * x + row["c_x_d"] * d1
-            return (x, k), None
+            return (x, k), ((x, d0) if debug else None)
 
-        (x, _), _ = jax.lax.scan(body, (x, key), tables)
+        (x, _), traj = jax.lax.scan(body, (x, key), tables)
 
         # quirk preserved: the reference adds the ancestral noise once, after
         # the loop, using the last interval (reference :336-343)
@@ -393,7 +399,7 @@ class DPMPP2S(DPM):
             key, kn = jax.random.split(key)
             x = x + jax.random.normal(kn, x.shape, x.dtype) * self.s_noise * su_last
         if debug:
-            return x, None, None
+            return x, traj[0], traj[1]
         return x
 
 
@@ -496,11 +502,11 @@ class DPMPP2M(DPM):
             d0 = denoise(x, jnp.ones(bs, jnp.float32) * row["sigma"])
             dd = row["w_new"] * d0 - row["w_old"] * old_d
             x = row["c_x"] * x + row["c_d"] * dd
-            return (x, d0), None
+            return (x, d0), ((x, d0) if debug else None)
 
-        (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), tables)
+        (x, _), traj = jax.lax.scan(body, (x, jnp.zeros_like(x)), tables)
         if debug:
-            return x, None, None
+            return x, traj[0], traj[1]
         return x
 
 

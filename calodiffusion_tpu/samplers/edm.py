@@ -93,11 +93,18 @@ class Euler(EDMBase):
             "t_next": jnp.asarray([r[2] for r in rows], jnp.float32),
             "churn": jnp.asarray([r[3] for r in rows], jnp.float32),
         }
+        inj = self.take_noise(len(rows), start.shape)
+        if inj is not None:
+            tables["noise"] = inj
 
         def body(carry, row):
             x, k = carry
             k, kn = jax.random.split(k)
-            x_hat = x + row["churn"] * jax.random.normal(kn, x.shape, x.dtype)
+            noise = (
+                row["noise"] if inj is not None
+                else jax.random.normal(kn, x.shape, x.dtype)
+            )
+            x_hat = x + row["churn"] * noise
             den = self.denoise_at(denoise, x_hat, row["t_hat"], bs)
             d_cur = (x_hat - den) / row["t_hat"]
             x = x_hat + (row["t_next"] - row["t_hat"]) * d_cur
@@ -133,11 +140,18 @@ class _SecondOrderEDM(EDMBase):
             "t_next": jnp.asarray([r[2] for r in main], jnp.float32),
             "churn": jnp.asarray([r[3] for r in main], jnp.float32),
         }
+        inj = self.take_noise(len(main), start.shape)
+        if inj is not None:
+            tables["noise"] = inj
 
         def body(carry, row):
             x, k = carry
             k, kn = jax.random.split(k)
-            x_hat = x + row["churn"] * jax.random.normal(kn, x.shape, x.dtype)
+            noise = (
+                row["noise"] if inj is not None
+                else jax.random.normal(kn, x.shape, x.dtype)
+            )
+            x_hat = x + row["churn"] * noise
             den = self.denoise_at(denoise, x_hat, row["t_hat"], bs)
             x = self.second_order_update(
                 denoise, bs, x_hat, den, row["t_hat"], row["t_next"]
@@ -150,7 +164,12 @@ class _SecondOrderEDM(EDMBase):
         # final step: Euler to t=0 (2nd-order corrector undefined there)
         key, kn = jax.random.split(key)
         t_cur, t_hat, t_next, churn = last
-        x_hat = x + churn * jax.random.normal(kn, x.shape, x.dtype)
+        inj_last = self.take_noise(1, start.shape)
+        noise_last = (
+            inj_last[0] if inj_last is not None
+            else jax.random.normal(kn, x.shape, x.dtype)
+        )
+        x_hat = x + churn * noise_last
         den = self.denoise_at(denoise, x_hat, t_hat, bs)
         x = x_hat + (t_next - t_hat) * (x_hat - den) / t_hat
         if debug:
@@ -221,11 +240,11 @@ class LMS(EDMBase):
             buf = jnp.concatenate([d_cur[None], buf[:-1]], axis=0)
             upd = jnp.tensordot(row["coeffs"], buf, axes=1)
             x = x + upd
-            return (x, buf), None
+            return (x, buf), ((x, den) if debug else None)
 
-        (x, _), _ = jax.lax.scan(body, (x, buf), tables)
+        (x, _), traj = jax.lax.scan(body, (x, buf), tables)
         if debug:
-            return x, None, None
+            return x, traj[0], traj[1]
         return x
 
 
@@ -271,11 +290,18 @@ class Restart(EDMBase):
                 "t_next": jnp.asarray([r[2] for r in seg_rows], jnp.float32),
                 "churn": jnp.asarray([r[3] for r in seg_rows], jnp.float32),
             }
+            inj = self.take_noise(len(seg_rows), start.shape)
+            if inj is not None:
+                tables["noise"] = inj
 
             def body(carry, row):
                 x, k = carry
                 k, kn = jax.random.split(k)
-                x_hat = x + row["churn"] * jax.random.normal(kn, x.shape, x.dtype)
+                noise = (
+                    row["noise"] if inj is not None
+                    else jax.random.normal(kn, x.shape, x.dtype)
+                )
+                x_hat = x + row["churn"] * noise
                 den = self.denoise_at(denoise, x_hat, row["t_hat"], bs)
                 x = x_hat + (row["t_next"] - row["t_hat"]) * (x_hat - den) / row["t_hat"]
                 return (x, k), None
@@ -306,9 +332,16 @@ class Restart(EDMBase):
             n_restart, float(ts[restart_idx]), t_max, self.rho
         ).astype(np.float64)
         reup = math.sqrt(max(new_ts[0] ** 2 - new_ts[-1] ** 2, 0.0)) * self.S_noise
+
+        def draw(k):
+            inj = self.take_noise(1, x.shape)
+            if inj is not None:
+                return inj[0]
+            return jax.random.normal(k, x.shape, x.dtype)
+
         for _ in range(int(K)):
             key, kn = jax.random.split(key)
-            x = x + reup * jax.random.normal(kn, x.shape, x.dtype)
+            x = x + reup * draw(kn)
             for j, (t_cur, t_next) in enumerate(zip(new_ts[:-1], new_ts[1:])):
                 gamma = (
                     self.restart_gamma
@@ -318,7 +351,7 @@ class Restart(EDMBase):
                 t_hat = t_cur + gamma * t_cur
                 churn = math.sqrt(max(t_hat**2 - t_cur**2, 0.0)) * self.S_noise
                 key, kn = jax.random.split(key)
-                x_hat = x + churn * jax.random.normal(kn, x.shape, x.dtype)
+                x_hat = x + churn * draw(kn)
                 den = self.denoise_at(denoise, x_hat, t_hat, bs)
                 d_cur = (x_hat - den) / t_hat
                 x = x_hat + (t_next - t_hat) * d_cur

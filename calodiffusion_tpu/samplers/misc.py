@@ -48,20 +48,27 @@ class Consistency(Sample):
         bs = bshape(start)
         x = start * sigmas[0]
         x0 = x
+        xs, x0s = [], []
         for sigma_cur, sigma_next in zip(sigmas[:-1], sigmas[1:]):
             x0 = denoise(x, jnp.ones(bs, jnp.float32) * sigma_cur)
             sigma_next = max(sigma_next, self.sigma_min)
             if sigma_next > self.sigma_min:
                 key, kn = jax.random.split(key)
-                x = x0 + jax.random.normal(kn, x.shape, x.dtype) * math.sqrt(
-                    sigma_next**2 - self.sigma_min**2
+                inj = self.take_noise(1, x.shape)
+                noise = (
+                    inj[0] if inj is not None
+                    else jax.random.normal(kn, x.shape, x.dtype)
                 )
+                x = x0 + noise * math.sqrt(sigma_next**2 - self.sigma_min**2)
             else:
                 x = x0
+            if debug:
+                xs.append(x)
+                x0s.append(x0)
 
         model.loss_function.update_step(orig_steps)
         if debug:
-            return x, None, None
+            return x, jnp.stack(xs), jnp.stack(x0s)
         return x
 
 
