@@ -350,6 +350,13 @@ def main():
             fid = json.load(f)
         extras["separation_power_etot"] = fid.get("Etot")
         extras["fidelity_ok"] = fid.get("ok")
+        # sharper instruments when the fidelity runs recorded them:
+        # DNN classifier AUC (0.5 = indistinguishable), JSD, and FPD,
+        # per family (ds2 keys are unprefixed; hgcal_/ds1_/layer_ prefixed)
+        for key, val in fid.items():
+            if any(key.endswith(s) for s in
+                   ("classifier_auc", "classifier_jsd", "fpd", "fpd_err")):
+                extras[key] = val
 
     try:
         from bench_baselines.reference_torch import measure_reference_cpu

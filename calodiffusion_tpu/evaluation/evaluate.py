@@ -71,6 +71,79 @@ class FPD:
 FDP = FPD
 
 
+def shower_feature_matrix(
+    showers: np.ndarray, e_inc: np.ndarray, nlayers: int | None = None
+) -> np.ndarray:
+    """Geometry-agnostic high-level feature vector per shower, for the
+    classifier/FPD fidelity gates (reference intent: jetnet FPD over
+    HighLevelFeatures, train/evaluate.py:70-79, and the DNN classifier of
+    tests/hgcal_metrics.py:105-156 — this feature set works for any of the
+    dataset geometries incl. HGCal's ragged cells).
+
+    Features: log1p(Etot), Etot/Einc, sparsity, max-voxel fraction,
+    energy-weighted depth mean/std over ``nlayers`` longitudinal slices
+    (or 8 flat chunks when no layer axis is known), plus the per-slice
+    energy fractions."""
+    x = showers.reshape(showers.shape[0], -1).astype(np.float64)
+    e = np.maximum(np.asarray(e_inc, np.float64).reshape(-1), 1e-12)
+    tot = x.sum(axis=1)
+    safe_tot = np.maximum(tot, 1e-12)
+
+    if nlayers and x.shape[1] % nlayers == 0:
+        lay = x.reshape(x.shape[0], nlayers, -1).sum(-1)
+    else:
+        nchunk = 8
+        pad = (-x.shape[1]) % nchunk
+        xp = np.pad(x, ((0, 0), (0, pad)))
+        lay = xp.reshape(x.shape[0], nchunk, -1).sum(-1)
+    frac = lay / safe_tot[:, None]
+    depth = np.arange(lay.shape[1], dtype=np.float64)[None, :]
+    d_mean = (frac * depth).sum(1)
+    d_std = np.sqrt(np.maximum((frac * depth**2).sum(1) - d_mean**2, 0.0))
+
+    feats = np.column_stack([
+        np.log1p(np.maximum(tot, 0.0)),
+        tot / e,
+        (x > 1e-8).mean(axis=1),
+        x.max(axis=1) / safe_tot,
+        d_mean,
+        d_std,
+        frac,
+    ])
+    return np.nan_to_num(feats.astype(np.float32))
+
+
+def fidelity_metrics(
+    ref: np.ndarray,
+    ref_e: np.ndarray,
+    gen: np.ndarray,
+    gen_e: np.ndarray,
+    nlayers: int | None = None,
+    key=None,
+    epochs: int = 20,
+) -> dict[str, float]:
+    """Classifier AUC/JSD + FPD between Geant and generated showers.
+
+    AUC ~= 0.5 means the DNN cannot tell generated from real (the
+    reference's sharpest gate); FPD ~= 0 likewise over the feature matrix.
+    Returns {"classifier_auc", "classifier_jsd", "fpd", "fpd_err"}."""
+    from calodiffusion_tpu.evaluation.classifier import classifier_metrics
+
+    f_ref = shower_feature_matrix(ref, ref_e, nlayers)
+    f_gen = shower_feature_matrix(gen, gen_e, nlayers)
+    cls = classifier_metrics(f_ref, f_gen, key=key, epochs=epochs)
+    try:
+        fpd_val, fpd_err = frechet.fpd(f_ref, f_gen)
+    except (ValueError, np.linalg.LinAlgError) as err:
+        raise FDPCalculationError(err)
+    return {
+        "classifier_auc": float(cls["auc"]),
+        "classifier_jsd": float(cls["jsd"]),
+        "fpd": float(fpd_val),
+        "fpd_err": float(fpd_err),
+    }
+
+
 class ComparisonNetwork(nn.Module):
     """Small conv classifier over (Z, A, R) voxel grids + incident energy."""
 

@@ -58,6 +58,18 @@ def separations(ref, ref_e, gen, gen_e, nlayer_axis):
         ref_frac = (ref_l / np.maximum(ref_l.sum(1, keepdims=True), 1e-8)).mean(0)
         gen_frac = (gen_l / np.maximum(gen_l.sum(1, keepdims=True), 1e-8)).mean(0)
         seps["layer_profile_L1"] = float(np.abs(ref_frac - gen_frac).sum())
+
+    # the sharper instruments: DNN classifier AUC/JSD + FPD over high-level
+    # features (VERDICT r2 Weak #2 — reference gates: train/evaluate.py FPD,
+    # tests/hgcal_metrics.py classifier)
+    from calodiffusion_tpu.evaluation.evaluate import fidelity_metrics
+
+    try:
+        seps.update(fidelity_metrics(
+            ref, ref_e, gen, gen_e, nlayers=nlayer_axis
+        ))
+    except Exception as err:  # report must survive a singular-cov corner
+        print(f"classifier/FPD metrics failed: {err}", flush=True)
     return seps
 
 

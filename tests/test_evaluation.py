@@ -100,3 +100,44 @@ def test_classifier_metrics_sanity():
     m_diff = classifier_metrics(real, diff, epochs=5)
     assert m_diff["auc"] > 0.85
     assert m_diff["jsd"] > 0.3
+
+
+def test_fidelity_metrics_gate():
+    """The combined classifier+FPD gate used by the TPU fidelity scripts
+    (scripts/tpu_fidelity_check.py / tpu_fidelity_families.py) and surfaced
+    by bench.py: indistinguishable showers score AUC ~ 0.5 / FPD ~ 0;
+    distorted showers are flagged."""
+    from calodiffusion_tpu.evaluation.evaluate import (
+        fidelity_metrics,
+        shower_feature_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    n, nlayers, cells = 1500, 10, 24
+
+    def make(scale_depth=1.0, seed=0):
+        r = np.random.default_rng(seed)
+        e = r.uniform(1.0, 10.0, n)
+        depth = np.arange(nlayers)[None, :, None]
+        prof = np.exp(-0.5 * ((depth - 4.0 * scale_depth) / 2.0) ** 2)
+        s = prof * r.gamma(2.0, 1.0, (n, nlayers, cells))
+        s *= 0.5 * e[:, None, None] / s.sum(axis=(1, 2), keepdims=True)
+        s[r.uniform(size=s.shape) < 0.3] = 0
+        return s.reshape(n, -1).astype(np.float32), e.astype(np.float32)
+
+    real, real_e = make(seed=1)
+    same, same_e = make(seed=2)
+    shifted, shifted_e = make(scale_depth=1.5, seed=3)
+
+    feats = shower_feature_matrix(real, real_e, nlayers)
+    assert feats.shape == (n, 6 + nlayers)
+    assert np.isfinite(feats).all()
+
+    m_same = fidelity_metrics(real, real_e, same, same_e, nlayers=nlayers,
+                              epochs=5)
+    assert 0.4 < m_same["classifier_auc"] < 0.62
+    assert m_same["fpd"] < 0.5
+    m_diff = fidelity_metrics(real, real_e, shifted, shifted_e,
+                              nlayers=nlayers, epochs=5)
+    assert m_diff["classifier_auc"] > 0.8
+    assert m_diff["fpd"] > m_same["fpd"] + 0.5
