@@ -319,6 +319,18 @@ class CaloDiffusion:
         shape = (B, *self._data_shape)
         k_start, k_samp = jax.random.split(key)
         start = self.noise_generation(k_start, shape)
+        if (
+            self.config.get("COLD_DIFFU", False)
+            and getattr(self, "_avg_showers", None) is not None
+        ):
+            # cold prior: start from the energy-binned average shower plus
+            # scaled fluctuations instead of pure noise — the counterpart of
+            # the cold training noise (trainer batch_loss); the sampler's
+            # start*sigma_max scaling then matches the trained forward
+            # process x_sigma = x0 + sigma * cold_noise
+            start = self.gen_cold_image(
+                energy[:, :1], self.config.get("COLD_NOISE", 1.0), start
+            )
 
         micro = int(self.config.get("SAMPLE_MICROBATCH", 128) or 0)
         if not debug and micro and B > micro and B % micro == 0:

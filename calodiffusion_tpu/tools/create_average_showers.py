@@ -43,6 +43,10 @@ def build_average_showers(config: dict, data_folder: str, nevts: int = -1):
         data = d if data is None else np.concatenate((data, d))
         energies = e if energies is None else np.concatenate((energies, e))
 
+    if not orig_shape:
+        # match the loader's training-array layout (data/loader.py:189) so
+        # the cold prior broadcasts against training batches and noise
+        data = np.reshape(data, config["SHAPE_PAD"])
     energies = energies.reshape(-1)
     # log-preprocessed energies are ~uniform in [0, 1]
     nbins = 100 if dataset_num >= 2 else 15

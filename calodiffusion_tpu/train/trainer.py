@@ -149,6 +149,9 @@ class Train:
         arrays, _ = ckpt_io.load_checkpoint(folder, name)
         params = arrays.get("ema_params") or arrays["params"]
         self.params = mesh_lib.replicate(self.mesh, params)
+        if self.config.get("COLD_DIFFU", False):
+            # sampling starts from the avg-shower cold prior
+            self.model.init_cold_diffu()
         return self.model, self.params
 
     # -- main entry --------------------------------------------------------
@@ -335,6 +338,10 @@ class TrainDiffusion(Train):
                       training_losses, val_losses):
         train_step, val_step = self._make_train_step()
         layer_cond = self.model.layer_cond
+        # cold diffusion transforms the VAL noise too (reference
+        # train_diffusion.py:96-97)
+        cold_diffu = self.config.get("COLD_DIFFU", False)
+        cold_noise_scale = self.config.get("COLD_NOISE", 1.0)
 
         # fixed per-batch noise levels for a stable val loss
         # (reference train_diffusion.py:29-31)
@@ -385,6 +392,10 @@ class TrainDiffusion(Train):
                     self.rng, k = jax.random.split(self.rng)
                     n_real = vE.shape[0]
                     noise = jax.random.normal(k, vdata.shape, dtype=jnp.float32)
+                    if cold_diffu:
+                        noise = self.model.gen_cold_image(
+                            jnp.asarray(vE)[:, :1], cold_noise_scale, noise
+                        )
                     rnd = val_rnd[i][:n_real]
                     vE_d, vlay_d, vdata_d = self._device_batch(vE, vlayers, vdata)
                     n_pad = vdata_d.shape[0] - n_real
