@@ -96,6 +96,9 @@ def _dataset_config(name: str, tmpdir: str):
             SHAPE_ORIG=[-1, 40500],
             SHAPE_PAD=[-1, 1, 45, 50, 18],
             SHAPE_FINAL=[-1, 1, 45, 50, 18],
+            # reference config_dataset3.json ships a thinner U-Net than ds2
+            LAYER_SIZE_UNET=[32, 32, 32, 32],
+            TIME_EMBED="sigma", NOISE_SCHED="cosine",
         )
     if name == "ds1":
         # dataset-1 'orig-NN': in-model NNConverter embed in the loop.

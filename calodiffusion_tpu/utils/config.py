@@ -11,6 +11,7 @@ CLI flags are carried in a ``dotdict`` and also injected into the config under
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -26,9 +27,17 @@ class dotdict(dict):
 
 
 def LoadJson(file_name: str) -> dict:
-    """Lax JSON loader: accepts single quotes / trailing commas via YAML."""
+    """Lax JSON loader: accepts single quotes / trailing commas via YAML.
+
+    Strict JSON is tried first: YAML 1.1 parses ``1e-07`` (no dot) as a
+    *string*, so numeric fields in well-formed JSON configs would silently
+    come back as str through the yaml path."""
     with open(os.path.join(file_name)) as f:
-        return yaml.safe_load(f)
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        return yaml.safe_load(text)
 
 
 def load_config(config: str | dict) -> dict:
