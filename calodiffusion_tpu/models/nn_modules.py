@@ -20,6 +20,7 @@ SHAPE_FINAL (Z in {45, 5, 7, 28, 47}) round-trips through the U-Net.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Sequence
 
 import jax
@@ -344,8 +345,36 @@ class Attention(nn.Module):
         )(out)
 
 
+class _RawConvParams(nn.Module):
+    """Parameter-only stand-in for a 1x1 Conv3d: declares the SAME param
+    names/shapes/inits under the SAME scope name (``name="Conv3d_N"``), so
+    checkpoints and tools/torch_import keep working while the matmul itself
+    runs inside the fused attention kernel."""
+
+    features: int
+    kshape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", torch_conv_kernel_init, self.kshape)
+        b = None
+        if self.use_bias:
+            fan_in = int(math.prod(self.kshape[:-1]))
+            b = self.param(
+                "bias", torch_conv_bias_init(fan_in), (self.features,)
+            )
+        return w, b
+
+
 class LinearAttention(nn.Module):
-    """O(N) linear attention (reference :281-318)."""
+    """O(N) linear attention (reference :281-318).
+
+    On TPU at large N the whole block (qkv 1x1 conv -> softmaxes ->
+    context/out einsums -> out 1x1 conv) runs as a fused two-pass Pallas
+    kernel with VMEM-resident weights (ops/pallas_linear_attention.py):
+    block attention is HBM-traffic-bound, ~34% of the 400-step sampling
+    wall on ds2/ds3 via the unfused XLA pipeline (roofline_report.json)."""
 
     heads: int = 1
     dim_head: int = 32
@@ -354,30 +383,63 @@ class LinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from calodiffusion_tpu.ops.pallas_linear_attention import (
+            MIN_N_FOR_KERNEL,
+            fused_linear_attention,
+            linear_attention_reference,
+        )
+
         b, zz, aa, rr, c = x.shape
+        n = zz * aa * rr
         hidden = self.heads * self.dim_head
-        qkv = Conv3d(
-            hidden * 3, kernel_size=1, cylindrical=self.cylindrical,
-            use_bias=False, dtype=self.dtype,
-        )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # param layout identical to the previous Conv3d submodules
+        w_qkv, _ = _RawConvParams(
+            features=hidden * 3, kshape=(1, 1, 1, c, hidden * 3),
+            use_bias=False, name="Conv3d_0",
+        )()
+        w_out, b_out = _RawConvParams(
+            features=c, kshape=(1, 1, 1, hidden, c), name="Conv3d_1"
+        )()
+        w_qkv = w_qkv.reshape(c, hidden * 3)
+        w_out = w_out.reshape(hidden, c)
 
-        def heads_first(t):
-            t = t.reshape(b, zz * aa * rr, self.heads, self.dim_head)
-            return t.transpose(0, 2, 3, 1)  # (b, h, d, N)
+        xf = x.reshape(b, n, c)
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("CALODIFF_FUSED_ATTN", "1") != "0"
+        )
+        if self.heads == 1 and use_kernel and n >= MIN_N_FOR_KERNEL:
+            out = fused_linear_attention(
+                xf.astype(self.dtype), w_qkv.astype(self.dtype),
+                w_out.astype(self.dtype), b_out.astype(jnp.float32),
+                dim_head=self.dim_head,
+            )
+        elif self.heads == 1:
+            out = linear_attention_reference(
+                xf.astype(self.dtype), w_qkv, w_out, b_out,
+                dim_head=self.dim_head,
+            )
+        else:  # generic multi-head path (not instantiated by the reference)
+            qkv = jnp.einsum(
+                "bnc,ck->bnk", xf.astype(self.dtype),
+                w_qkv.astype(self.dtype),
+            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        q, k, v = map(heads_first, (q, k, v))
-        q = jax.nn.softmax(q.astype(jnp.float32), axis=-2).astype(v.dtype)
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=-1).astype(v.dtype)
-        q = q * (self.dim_head ** -0.5)
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)
-        # (b, h, e, N) -> (b, z, a, r, h*e)
-        out = out.reshape(b, hidden, zz * aa * rr).transpose(0, 2, 1)
-        out = out.reshape(b, zz, aa, rr, hidden)
-        out = Conv3d(
-            c, kernel_size=1, cylindrical=self.cylindrical, dtype=self.dtype
-        )(out)
+            def to_heads(t):
+                return t.reshape(b, n, self.heads, self.dim_head)
+
+            q, k, v = map(to_heads, (q, k, v))
+            q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(v.dtype)
+            k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(v.dtype)
+            q = q * (self.dim_head ** -0.5)
+            context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+            out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+            out = out.reshape(b, n, hidden)
+            out = jnp.einsum(
+                "bne,ec->bnc", out, w_out.astype(out.dtype)
+            ) + b_out.astype(out.dtype)
+        out = out.reshape(b, zz, aa, rr, c)
         return GroupNorm(1, dtype=self.dtype)(out)
 
 
