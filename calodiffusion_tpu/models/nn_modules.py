@@ -345,6 +345,44 @@ class Attention(nn.Module):
         )(out)
 
 
+class _RawGNParams(nn.Module):
+    """Parameter-only stand-in for GroupNorm: declares the SAME scale/bias
+    params under the SAME scope name (``name="GroupNorm_N"``) so checkpoints
+    keep working while the normalization itself runs either in the fused
+    attention-block kernel or via `_group_norm1`."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return scale, bias
+
+
+def _group_norm1(x, scale, bias, eps=1e-5):
+    """GroupNorm(num_groups=1) with explicit params: f32 stats over all
+    non-batch axes, identical math (incl. the CALODIF_GN_IDENTITY profiling
+    hatch) to the GroupNorm module above."""
+    if os.environ.get("CALODIF_GN_IDENTITY"):
+        return x * scale + bias
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(1, xf.ndim))
+    mean = xf.mean(axis=axes, keepdims=True)
+    var = xf.var(axis=axes, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf * scale + bias).astype(orig_dtype)
+
+
+def _fused_attn_enabled():
+    from calodiffusion_tpu.ops.pallas_linear_attention import in_training_trace
+
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("CALODIFF_FUSED_ATTN", "1") != "0"
+        and not in_training_trace()
+    )
+
+
 class _RawConvParams(nn.Module):
     """Parameter-only stand-in for a 1x1 Conv3d: declares the SAME param
     names/shapes/inits under the SAME scope name (``name="Conv3d_N"``), so
@@ -382,9 +420,13 @@ class LinearAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prenorm=None, residual=False):
+        """`prenorm=(scale, bias)` + `residual=True` is the fused-block
+        entry used by PreNormResidual: pre-GN, attention, post-GN, and the
+        residual add all run in one Pallas kernel (VMEM-resident slab)."""
         from calodiffusion_tpu.ops.pallas_linear_attention import (
             MIN_N_FOR_KERNEL,
+            fused_attention_block,
             fused_linear_attention,
             linear_attention_reference,
         )
@@ -400,15 +442,33 @@ class LinearAttention(nn.Module):
         w_out, b_out = _RawConvParams(
             features=c, kshape=(1, 1, 1, hidden, c), name="Conv3d_1"
         )()
+        gn_scale, gn_bias = _RawGNParams(name="GroupNorm_0")(c)
         w_qkv = w_qkv.reshape(c, hidden * 3)
         w_out = w_out.reshape(hidden, c)
 
-        xf = x.reshape(b, n, c)
         use_kernel = (
-            jax.default_backend() == "tpu"
-            and os.environ.get("CALODIFF_FUSED_ATTN", "1") != "0"
+            self.heads == 1
+            and _fused_attn_enabled()
+            and n >= MIN_N_FOR_KERNEL
+            and not os.environ.get("CALODIF_GN_IDENTITY")
         )
-        if self.heads == 1 and use_kernel and n >= MIN_N_FOR_KERNEL:
+        if prenorm is not None and use_kernel:
+            pre_scale, pre_bias = prenorm
+            out = fused_attention_block(
+                x.reshape(b, n, c).astype(self.dtype),
+                pre_scale, pre_bias,
+                w_qkv.astype(self.dtype), w_out.astype(self.dtype),
+                b_out.astype(jnp.float32), gn_scale, gn_bias,
+                dim_head=self.dim_head,
+            )
+            return out.reshape(b, zz, aa, rr, c)
+        if prenorm is not None:  # fallback: un-fused but same params/math
+            pre_scale, pre_bias = prenorm
+            skip = x
+            x = _group_norm1(x, pre_scale, pre_bias)
+
+        xf = x.reshape(b, n, c)
+        if self.heads == 1 and use_kernel:
             out = fused_linear_attention(
                 xf.astype(self.dtype), w_qkv.astype(self.dtype),
                 w_out.astype(self.dtype), b_out.astype(jnp.float32),
@@ -440,18 +500,40 @@ class LinearAttention(nn.Module):
                 "bne,ec->bnc", out, w_out.astype(out.dtype)
             ) + b_out.astype(out.dtype)
         out = out.reshape(b, zz, aa, rr, c)
-        return GroupNorm(1, dtype=self.dtype)(out)
+        out = _group_norm1(out, gn_scale, gn_bias)
+        if prenorm is not None and residual:
+            out = skip + out
+        return out
 
 
 class PreNormResidual(nn.Module):
-    """x + fn(GroupNorm(x)) (reference Residual(PreNorm(...)) :111-117, :321-329)."""
+    """x + fn(GroupNorm(x)) (reference Residual(PreNorm(...)) :111-117, :321-329).
+
+    When fn is the reference-config LinearAttention (heads=1) at kernel-size
+    N on TPU, the whole block runs as one fused Pallas kernel (pre-GN +
+    attention + post-GN + residual, ops/pallas_linear_attention.py); the
+    GroupNorm params live under the same GroupNorm_0 scope either way."""
 
     fn: nn.Module
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return x + self.fn(GroupNorm(1, dtype=self.dtype)(x))
+        from calodiffusion_tpu.ops.pallas_linear_attention import (
+            MIN_N_FOR_KERNEL,
+        )
+
+        scale, bias = _RawGNParams(name="GroupNorm_0")(x.shape[-1])
+        n = math.prod(x.shape[1:-1])
+        if (
+            isinstance(self.fn, LinearAttention)
+            and self.fn.heads == 1
+            and _fused_attn_enabled()
+            and n >= MIN_N_FOR_KERNEL
+            and not os.environ.get("CALODIF_GN_IDENTITY")
+        ):
+            return self.fn(x, prenorm=(scale, bias), residual=True)
+        return x + self.fn(_group_norm1(x, scale, bias))
 
 
 def downsample_module(dim, cylindrical, compress_Z, dtype):

@@ -36,6 +36,7 @@ to ~1e-5 in f32 (see tests/test_pallas_linear_attention.py).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -45,6 +46,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MIN_N_FOR_KERNEL = 4096  # below this the XLA path wins (dispatch overhead)
+
+# The kernels' custom VJP recomputes the XLA forward inside the backward, so
+# a gradient trace through the kernel pays BOTH forwards (measured: ds2
+# train step 55.6 -> 60.1 ms).  Training wraps its step call in
+# `training_trace()` and the module dispatch skips the kernel there; forward
+# -only traces (sampling, val loss) keep it.
+_IN_TRAINING_TRACE = [False]
+
+
+@contextlib.contextmanager
+def training_trace():
+    """Mark jit traces opened inside this context as gradient-bearing: the
+    fused attention kernels are not dispatched (their XLA-VJP backward would
+    double the forward cost).  Tracing happens on the first call of a jitted
+    function, so wrapping every step call is enough (and cheap)."""
+    prev = _IN_TRAINING_TRACE[0]
+    _IN_TRAINING_TRACE[0] = True
+    try:
+        yield
+    finally:
+        _IN_TRAINING_TRACE[0] = prev
+
+
+def in_training_trace() -> bool:
+    return _IN_TRAINING_TRACE[0]
 _MAX_SINGLE_CHUNK = 49152  # whole-sample chunk while VMEM temps stay small
 _LANE = 512  # chunk-size quantum: keeps slices (8,128)-tile aligned
 
@@ -189,3 +215,228 @@ def linear_attention_reference(x, w_qkv, w_out, b_out, dim_head: int = 32):
     out = jnp.einsum("bde,bnd->bne", ctx, q)
     y = jnp.einsum("bne,ec->bnc", out, w_out.astype(x.dtype))
     return y + b_out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused attention BLOCK: x + GN1(LinearAttention(GN1(x)))
+#
+# PreNormResidual(LinearAttention) is pre-GroupNorm -> qkv conv -> softmaxes
+# -> einsums -> out conv -> post-GroupNorm -> residual add.  Per batch
+# element the whole (C, N) slab is ~2.6 MB, so beyond fusing the attention
+# math the two GroupNorms and the residual can also stay VMEM-resident:
+# ONE HBM read of x and ONE write of the block output replace the XLA
+# chain's ~13 HBM passes of lane-poor (last-dim-32) elementwise traffic.
+# GroupNorm(1) semantics match models/nn_modules.py:131-159 (f32 stats over
+# all non-batch axes, eps 1e-5, per-channel affine).
+# ---------------------------------------------------------------------------
+
+
+def _block_kernel(xt_ref, gps_ref, gpb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                  bo_ref, gos_ref, gob_ref, yt_ref, y_scr, *,
+                  n_total, ch, n_chunks, dim_head, eps):
+    """xt_ref: (1, C, N_PAD); g*_ref: (C, 1) f32 GroupNorm affines;
+    y_scr: (C, N_PAD) f32 VMEM scratch holding the pre-post-GN attention
+    output."""
+    f32 = jnp.float32
+    cdt = xt_ref.dtype
+    C = xt_ref.shape[1]
+    denom = f32(C * n_total)
+
+    def lane_ok(st):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1) + st
+        return lane < n_total
+
+    # pass 0a/0b: mean then centered variance of x (two-pass for accuracy;
+    # chunks are VMEM-resident so extra passes are nearly free)
+    def s0a(i, s):
+        xb = xt_ref[0, :, pl.ds(i * ch, ch)].astype(f32)
+        return s + jnp.sum(jnp.where(lane_ok(i * ch), xb, 0.0))
+
+    mu = jax.lax.fori_loop(0, n_chunks, s0a, f32(0.0)) / denom
+
+    def s0b(i, s):
+        xb = xt_ref[0, :, pl.ds(i * ch, ch)].astype(f32)
+        d = jnp.where(lane_ok(i * ch), xb - mu, 0.0)
+        return s + jnp.sum(d * d)
+
+    var = jax.lax.fori_loop(0, n_chunks, s0b, f32(0.0)) / denom
+    inv = jax.lax.rsqrt(var + eps)
+    gps = gps_ref[...] * inv                     # (C, 1) folded scale
+    gpb = gpb_ref[...] - gps_ref[...] * inv * mu  # (C, 1) folded bias
+
+    def xnorm(st):
+        """Pre-GN'd chunk in compute dtype (cast matches the unfused chain,
+        where GroupNorm casts back to the model dtype before the conv)."""
+        xb = xt_ref[0, :, pl.ds(st, ch)].astype(f32)
+        return (xb * gps + gpb).astype(cdt)
+
+    # pass A: online-softmax over k, accumulate ctx = sum_n k'(d,n) v(e,n)
+    def a_step(i, carry):
+        m, s, acc = carry
+        st = i * ch
+        xb = xnorm(st)
+        kb = jax.lax.dot_general(
+            wk_ref[...], xb, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        ok = lane_ok(st)
+        kb = jnp.where(ok, kb, -jnp.inf)
+        bm = jnp.max(kb, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, bm)
+        resc = jnp.exp(m - m_new)
+        w = jnp.exp(kb - m_new)
+        w = jnp.where(ok, w, 0.0)
+        vb = jax.lax.dot_general(
+            wv_ref[...], xb, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        acc = acc * resc + jax.lax.dot_general(
+            w.astype(cdt), vb.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        s = s * resc + jnp.sum(w, axis=1, keepdims=True)
+        return (m_new, s, acc)
+
+    d = dim_head
+    m0 = jnp.full((d, 1), -jnp.inf, f32)
+    s0 = jnp.zeros((d, 1), f32)
+    a0 = jnp.zeros((d, d), f32)
+    m, s, acc = jax.lax.fori_loop(0, n_chunks, a_step, (m0, s0, a0))
+    ctx = (acc / jnp.maximum(s, 1e-30)).astype(cdt)
+
+    # pass B: y = W_o^T (ctx^T softmax_d(q) d^-1/2) + b  -> VMEM scratch,
+    # accumulating sum(y) for the post-GN mean (masked lanes stored as 0)
+    def b_step(i, sy):
+        st = i * ch
+        xb = xnorm(st)
+        qb = jax.lax.dot_general(
+            wq_ref[...], xb, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        rm = jnp.max(qb, axis=0, keepdims=True)
+        qe = jnp.exp(qb - rm)
+        qs = (qe / jnp.sum(qe, axis=0, keepdims=True)
+              * (d ** -0.5)).astype(cdt)
+        ob = jax.lax.dot_general(
+            ctx, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        yb = jax.lax.dot_general(
+            wo_ref[...], ob.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) + bo_ref[...]
+        yb = jnp.where(lane_ok(st), yb, 0.0)
+        y_scr[:, pl.ds(st, ch)] = yb
+        return sy + jnp.sum(yb)
+
+    mu_y = jax.lax.fori_loop(0, n_chunks, b_step, f32(0.0)) / denom
+
+    def b2_step(i, ss):
+        yb = y_scr[:, pl.ds(i * ch, ch)]
+        dyb = jnp.where(lane_ok(i * ch), yb - mu_y, 0.0)
+        return ss + jnp.sum(dyb * dyb)
+
+    var_y = jax.lax.fori_loop(0, n_chunks, b2_step, f32(0.0)) / denom
+    inv_y = jax.lax.rsqrt(var_y + eps)
+    gos = gos_ref[...] * inv_y
+    gob = gob_ref[...] - gos_ref[...] * inv_y * mu_y
+
+    # pass C: out = x + postGN(y)
+    def c_step(i, _):
+        st = i * ch
+        xb = xt_ref[0, :, pl.ds(st, ch)].astype(f32)
+        yb = y_scr[:, pl.ds(st, ch)]
+        yn = (yb * gos + gob).astype(cdt).astype(f32)  # match unfused cast
+        yt_ref[0, :, pl.ds(st, ch)] = (xb + yn).astype(yt_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, c_step, 0)
+
+
+def _block_forward(x, gps, gpb, w_qkv, w_out, b_out, gos, gob,
+                   dim_head, eps, interpret):
+    B, N, C = x.shape
+    D = dim_head
+    wq, wk, wv = w_qkv[:, :D], w_qkv[:, D:2 * D], w_qkv[:, 2 * D:]
+    ch, n_pad = _pick_chunk(N)
+
+    def col(v):
+        return v.reshape(C, 1).astype(jnp.float32)
+
+    xt = jnp.swapaxes(x, 1, 2)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, n_pad - N)))
+    yt = pl.pallas_call(
+        functools.partial(_block_kernel, n_total=N, ch=ch,
+                          n_chunks=n_pad // ch, dim_head=D, eps=eps),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, C, n_pad), lambda b: (b, 0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0)),
+                  pl.BlockSpec((C, D), lambda b: (0, 0)),
+                  pl.BlockSpec((C, D), lambda b: (0, 0)),
+                  pl.BlockSpec((C, D), lambda b: (0, 0)),
+                  pl.BlockSpec((D, C), lambda b: (0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0))],
+        out_specs=pl.BlockSpec((1, C, n_pad), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, C, n_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((C, n_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, col(gps), col(gpb), wq, wk, wv, w_out,
+      col(b_out), col(gos), col(gob))
+    return jnp.swapaxes(yt[:, :, :N], 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _block(x, gps, gpb, w_qkv, w_out, b_out, gos, gob,
+           dim_head, eps, interpret):
+    return _block_forward(x, gps, gpb, w_qkv, w_out, b_out, gos, gob,
+                          dim_head, eps, interpret)
+
+
+def _block_fwd(x, gps, gpb, w_qkv, w_out, b_out, gos, gob,
+               dim_head, eps, interpret):
+    return (_block_forward(x, gps, gpb, w_qkv, w_out, b_out, gos, gob,
+                           dim_head, eps, interpret),
+            (x, gps, gpb, w_qkv, w_out, b_out, gos, gob))
+
+
+def _block_bwd(dim_head, eps, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: attention_block_reference(*a, dim_head=dim_head, eps=eps),
+        *res)
+    return vjp(g)
+
+
+_block.defvjp(_block_fwd, _block_bwd)
+
+
+def fused_attention_block(x, gn_pre_scale, gn_pre_bias, w_qkv, w_out, b_out,
+                          gn_post_scale, gn_post_bias, dim_head: int = 32,
+                          eps: float = 1e-5, interpret: bool = False):
+    """x + GN1(LinearAttention(GN1(x))) in one kernel.  x: (B, N, C);
+    gn_*: (C,) GroupNorm(1) affine params; the rest as in
+    `fused_linear_attention`.  Differentiable (custom VJP via the XLA
+    formulation `attention_block_reference`)."""
+    return _block(x, gn_pre_scale, gn_pre_bias, w_qkv, w_out, b_out,
+                  gn_post_scale, gn_post_bias, int(dim_head), float(eps),
+                  bool(interpret))
+
+
+def group_norm1_reference(x, scale, bias, eps: float = 1e-5):
+    """GroupNorm(num_groups=1) over (B, N, C): f32 stats over (N, C) per
+    sample, per-channel affine, cast back to input dtype — identical math
+    to models/nn_modules.py GroupNorm :131-159."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf * scale + bias).astype(x.dtype)
+
+
+def attention_block_reference(x, gn_pre_scale, gn_pre_bias, w_qkv, w_out,
+                              b_out, gn_post_scale, gn_post_bias,
+                              dim_head: int = 32, eps: float = 1e-5):
+    """Plain-XLA x + GN1(LinearAttention(GN1(x))) (test oracle + custom-VJP
+    backward formulation for `fused_attention_block`)."""
+    xn = group_norm1_reference(x, gn_pre_scale, gn_pre_bias, eps)
+    y = linear_attention_reference(xn, w_qkv, w_out, b_out, dim_head)
+    y = group_norm1_reference(y, gn_post_scale, gn_post_bias, eps)
+    return x + y.astype(jnp.float32).astype(x.dtype)

@@ -25,6 +25,7 @@ import optax
 
 from calodiffusion_tpu.data.loader import load_data as load_data_fn
 from calodiffusion_tpu.models.diffusion import CaloDiffusion
+from calodiffusion_tpu.ops.pallas_linear_attention import training_trace
 from calodiffusion_tpu.parallel import mesh as mesh_lib
 from calodiffusion_tpu.train import checkpoint as ckpt_io
 from calodiffusion_tpu.train.schedulers import EarlyStopper, ReduceLROnPlateau
@@ -381,7 +382,10 @@ class TrainDiffusion(Train):
             with trace(trace_dir if epoch == start_epoch + 1 else None):
                 for E_d, lay_d, data_d in self._epoch_batches(timer):
                     self.rng, k = jax.random.split(self.rng)
-                    with timer.phase("step"):
+                    with timer.phase("step"), training_trace():
+                        # training_trace: the fused attention kernels skip
+                        # gradient-bearing traces (their XLA-VJP backward
+                        # would re-run the forward; sampling keeps them)
                         (self.params, self.opt_state, self.ema_params,
                          loss) = train_step(
                             self.params, self.opt_state, self.ema_params, k,

@@ -9,8 +9,12 @@ import jax
 import jax.numpy as jnp
 
 from calodiffusion_tpu.ops.pallas_linear_attention import (
+    attention_block_reference,
+    fused_attention_block,
     fused_linear_attention,
+    in_training_trace,
     linear_attention_reference,
+    training_trace,
 )
 
 
@@ -76,6 +80,95 @@ def test_fused_gradients_match_reference():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-5
         )
+
+
+def _block_inputs(B, N, C, D=32, dtype=jnp.float32, seed=0):
+    x, w_qkv, w_out, b_out = _inputs(B, N, C, D, dtype, seed)
+    ks = jax.random.split(jax.random.PRNGKey(seed + 100), 4)
+    gps = 1.0 + 0.1 * jax.random.normal(ks[0], (C,))
+    gpb = 0.1 * jax.random.normal(ks[1], (C,))
+    gos = 1.0 + 0.1 * jax.random.normal(ks[2], (C,))
+    gob = 0.1 * jax.random.normal(ks[3], (C,))
+    return x, gps, gpb, w_qkv, w_out, b_out, gos, gob
+
+
+@pytest.mark.parametrize("N", [1024, 6480])  # 6480 exercises the masked tail
+def test_fused_block_matches_reference(N):
+    args = _block_inputs(2, N, 32)
+    want = attention_block_reference(*args)
+    got = fused_attention_block(*args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_fused_block_bf16():
+    args = _block_inputs(2, 2048, 32, dtype=jnp.bfloat16, seed=1)
+    want = attention_block_reference(*args)
+    got = fused_attention_block(*args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_fused_block_gradients_match_reference():
+    args = _block_inputs(2, 700, 32, seed=3)
+
+    def loss_fused(*a):
+        y = fused_attention_block(*a, interpret=True)
+        return jnp.sum(y * y)
+
+    def loss_ref(*a):
+        y = attention_block_reference(*a)
+        return jnp.sum(y * y)
+
+    idx = tuple(range(len(args)))
+    got = jax.grad(loss_fused, argnums=idx)(*args)
+    want = jax.grad(loss_ref, argnums=idx)(*args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=8e-4, atol=8e-5
+        )
+
+
+def test_training_trace_flag():
+    assert not in_training_trace()
+    with training_trace():
+        assert in_training_trace()
+        with training_trace():
+            assert in_training_trace()
+        assert in_training_trace()
+    assert not in_training_trace()
+
+
+def test_prenorm_residual_param_tree_and_output():
+    """PreNormResidual(LinearAttention) must keep the GroupNorm_0/fn param
+    layout and reproduce GroupNorm-module + attention + residual math on the
+    unfused (CPU) path."""
+    from calodiffusion_tpu.models.nn_modules import (
+        GroupNorm,
+        LinearAttention,
+        PreNormResidual,
+    )
+
+    B, Z, A, R, C = 2, 5, 6, 7, 32
+    m = PreNormResidual(LinearAttention())
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, Z, A, R, C))
+    params = m.init(jax.random.PRNGKey(0), x)
+    tree = params["params"]
+    assert set(tree) == {"GroupNorm_0", "fn"}
+    assert set(tree["fn"]) == {"Conv3d_0", "Conv3d_1", "GroupNorm_0"}
+    assert tree["GroupNorm_0"]["scale"].shape == (C,)
+    got = m.apply(params, x)
+
+    gn = GroupNorm(1)
+    xn = gn.apply({"params": tree["GroupNorm_0"]}, x)
+    attn = LinearAttention()
+    want = x + attn.apply({"params": tree["fn"]}, xn)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_module_param_tree_unchanged():
