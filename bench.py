@@ -258,7 +258,10 @@ def measure_train_step(config, batch: int, runs: int = 10) -> float:
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(4))
+    from calodiffusion_tpu.ops.pallas_linear_attention import training_trace
+
+    with training_trace():  # gradient trace: skip the fused attention kernel
+        params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(4))
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for i in range(runs):

@@ -443,6 +443,7 @@ class LinearAttention(nn.Module):
             features=c, kshape=(1, 1, 1, hidden, c), name="Conv3d_1"
         )()
         gn_scale, gn_bias = _RawGNParams(name="GroupNorm_0")(c)
+        w_qkv5, w_out5 = w_qkv, w_out  # (1,1,1,Cin,Cout) conv layouts
         w_qkv = w_qkv.reshape(c, hidden * 3)
         w_out = w_out.reshape(hidden, c)
 
@@ -466,6 +467,39 @@ class LinearAttention(nn.Module):
             pre_scale, pre_bias = prenorm
             skip = x
             x = _group_norm1(x, pre_scale, pre_bias)
+
+        from calodiffusion_tpu.ops.pallas_linear_attention import (
+            in_training_trace,
+        )
+
+        if in_training_trace():
+            # gradient-bearing trace: the 1x1-conv heads-first formulation —
+            # XLA schedules its backward ~5% faster than the flattened
+            # einsum chain's (58 -> 55.6 ms ds2 train step, measured)
+            from calodiffusion_tpu.ops.conv import conv3d
+
+            qkv = conv3d(x.astype(self.dtype), w_qkv5.astype(self.dtype))
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads_first(t):
+                t = t.reshape(b, n, self.heads, self.dim_head)
+                return t.transpose(0, 2, 3, 1)  # (b, h, d, N)
+
+            q, k, v = map(heads_first, (q, k, v))
+            q = jax.nn.softmax(q.astype(jnp.float32), axis=-2).astype(v.dtype)
+            k = jax.nn.softmax(k.astype(jnp.float32), axis=-1).astype(v.dtype)
+            q = q * (self.dim_head ** -0.5)
+            context = jnp.einsum("bhdn,bhen->bhde", k, v)
+            out = jnp.einsum("bhde,bhdn->bhen", context, q)
+            out = out.reshape(b, hidden, n).transpose(0, 2, 1)
+            out = out.reshape(b, zz, aa, rr, hidden)
+            out = conv3d(
+                out, w_out5.astype(out.dtype), b_out.astype(out.dtype)
+            )
+            out = _group_norm1(out, gn_scale, gn_bias)
+            if prenorm is not None and residual:
+                out = skip + out
+            return out
 
         xf = x.reshape(b, n, c)
         if self.heads == 1 and use_kernel:

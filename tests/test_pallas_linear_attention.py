@@ -132,6 +132,39 @@ def test_fused_block_gradients_match_reference():
         )
 
 
+def test_training_trace_formulation_matches():
+    """Inside training_trace() LinearAttention switches to the 1x1-conv
+    heads-first formulation (faster XLA backward); it must agree with the
+    flattened-einsum inference formulation to float tolerance."""
+    from calodiffusion_tpu.models.nn_modules import LinearAttention
+
+    B, Z, A, R, C = 2, 5, 6, 7, 32
+    m = LinearAttention()
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, Z, A, R, C))
+    params = m.init(jax.random.PRNGKey(0), x)
+    want = m.apply(params, x)
+    with training_trace():
+        got = m.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+    def loss(p, mod=m):
+        return jnp.sum(mod.apply(p, x) ** 2)
+
+    g_want = jax.grad(loss)(params)
+    with training_trace():
+        g_got = jax.grad(loss)(params)
+    for gw, gg in zip(
+        jax.tree_util.tree_leaves(g_want), jax.tree_util.tree_leaves(g_got)
+    ):
+        # conv-backward vs einsum-backward accumulate in different orders;
+        # tolerance covers f32 reduction reordering only
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=2e-3, atol=2e-5
+        )
+
+
 def test_training_trace_flag():
     assert not in_training_trace()
     with training_trace():
