@@ -374,12 +374,19 @@ def _group_norm1(x, scale, bias, eps=1e-5):
 
 
 def _fused_attn_enabled():
+    """Dispatch gate for the fused attention kernels.  Gradient-bearing
+    traces use them too: the block kernel has a Pallas backward in the same
+    (C, N) lane-packed layout (ops/pallas_linear_attention.py), measured
+    faster than the unfused XLA chain's VJP.  ``CALODIFF_FUSED_ATTN=0``
+    disables entirely; ``=fwdonly`` restores the round-3 behavior of
+    skipping the kernel in training traces."""
     from calodiffusion_tpu.ops.pallas_linear_attention import in_training_trace
 
+    mode = os.environ.get("CALODIFF_FUSED_ATTN", "1")
     return (
         jax.default_backend() == "tpu"
-        and os.environ.get("CALODIFF_FUSED_ATTN", "1") != "0"
-        and not in_training_trace()
+        and mode != "0"
+        and not (mode == "fwdonly" and in_training_trace())
     )
 
 

@@ -26,9 +26,14 @@ Reference semantics: calodiffusion/models/models.py:281-318
 only configuration the reference instantiates.
 
 Differentiation: `pallas_call` has no automatic VJP, and the training step
-differentiates through block attention, so `fused_linear_attention` is a
-`jax.custom_vjp`: forward = this kernel, backward = the VJP of the
-mathematically-identical XLA formulation (`linear_attention_reference`).
+differentiates through block attention, so both entry points are
+`jax.custom_vjp`.  `fused_attention_block` (the production path) has a
+hand-derived Pallas backward kernel in the same (C, N) layout
+(`_block_bwd_kernel`): it recomputes the forward intermediates chunk-wise
+in VMEM (nearly free) and emits dx plus per-batch weight grads.
+`fused_linear_attention` (no-prenorm entry, not dispatched in the shipped
+models) keeps backward = the VJP of the mathematically-identical XLA
+formulation (`linear_attention_reference`).
 
 Numerics: all reductions and exponentials run in f32; matches the XLA path
 to ~1e-5 in f32 (see tests/test_pallas_linear_attention.py).
@@ -47,20 +52,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 MIN_N_FOR_KERNEL = 4096  # below this the XLA path wins (dispatch overhead)
 
-# The kernels' custom VJP recomputes the XLA forward inside the backward, so
-# a gradient trace through the kernel pays BOTH forwards (measured: ds2
-# train step 55.6 -> 60.1 ms).  Training wraps its step call in
-# `training_trace()` and the module dispatch skips the kernel there; forward
-# -only traces (sampling, val loss) keep it.
+# Training wraps its step call in `training_trace()` so the module dispatch
+# can distinguish gradient-bearing traces.  Since the block kernel grew a
+# real Pallas backward, training traces use the fused kernel too by
+# default; `CALODIFF_FUSED_ATTN=fwdonly` restores the round-3 fallback
+# (unfused XLA attention in training traces).
 _IN_TRAINING_TRACE = [False]
 
 
 @contextlib.contextmanager
 def training_trace():
-    """Mark jit traces opened inside this context as gradient-bearing: the
-    fused attention kernels are not dispatched (their XLA-VJP backward would
-    double the forward cost).  Tracing happens on the first call of a jitted
-    function, so wrapping every step call is enough (and cheap)."""
+    """Mark jit traces opened inside this context as gradient-bearing so
+    the attention dispatch can pick the right formulation (see
+    models/nn_modules.py `_fused_attn_enabled`).  Tracing happens on the
+    first call of a jitted function, so wrapping every step call is enough
+    (and cheap)."""
     prev = _IN_TRAINING_TRACE[0]
     _IN_TRAINING_TRACE[0] = True
     try:
@@ -398,11 +404,358 @@ def _block_fwd(x, gps, gpb, w_qkv, w_out, b_out, gos, gob,
             (x, gps, gpb, w_qkv, w_out, b_out, gos, gob))
 
 
+def _block_bwd_kernel(xt_ref, gt_ref, gps_ref, gpb_ref, wq_ref, wk_ref,
+                      wv_ref, wo_ref, bo_ref, gos_ref,
+                      dxt_ref, dg1_ref, db1_ref, dwq_ref, dwk_ref, dwv_ref,
+                      dwo_ref, dbo_ref, dg2_ref, db2_ref,
+                      y_scr, dxn_scr, k_scr, v_scr, q_scr, *,
+                      n_total, ch, n_chunks, dim_head, eps):
+    """Backward of `_block_kernel` in the same (C, N) lane-packed layout.
+
+    Strategy: recompute the forward intermediates chunk-wise INSIDE the
+    kernel (VMEM-resident recompute is nearly free — the thing that made
+    the old XLA-VJP backward slow was re-running the lane-poor (N, 32) XLA
+    chain, not the arithmetic).  k/v/q matmul results and the pre-GN'd y
+    are staged in VMEM scratch so each is computed once.  Weight/bias
+    grads are written per batch element (grid=(B,)) and summed outside.
+    """
+    f32 = jnp.float32
+    cdt = xt_ref.dtype
+    C = xt_ref.shape[1]
+    d = dim_head
+    sc = d ** -0.5
+    denom = f32(C * n_total)
+
+    def lane_ok(st):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1) + st
+        return lane < n_total
+
+    # ---- pre-GN stats (recompute) ----
+    def sa(i, s):
+        xb = xt_ref[0, :, pl.ds(i * ch, ch)].astype(f32)
+        return s + jnp.sum(jnp.where(lane_ok(i * ch), xb, 0.0))
+
+    mu = jax.lax.fori_loop(0, n_chunks, sa, f32(0.0)) / denom
+
+    def sb(i, s):
+        xb = xt_ref[0, :, pl.ds(i * ch, ch)].astype(f32)
+        dxb = jnp.where(lane_ok(i * ch), xb - mu, 0.0)
+        return s + jnp.sum(dxb * dxb)
+
+    var = jax.lax.fori_loop(0, n_chunks, sb, f32(0.0)) / denom
+    inv = jax.lax.rsqrt(var + eps)
+    g1 = gps_ref[...]
+    b1 = gpb_ref[...]
+
+    def xhat(st):
+        xb = xt_ref[0, :, pl.ds(st, ch)].astype(f32)
+        return (xb - mu) * inv                              # (C, ch) f32
+
+    def xnorm(st):
+        return (xhat(st) * g1 + b1).astype(cdt)
+
+    # ---- pass-A recompute: k/v matmuls (staged), softmax stats, ctx ----
+    def ra(i, carry):
+        m, s, acc = carry
+        st = i * ch
+        xb = xnorm(st)
+        kb = jax.lax.dot_general(
+            wk_ref[...], xb, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        k_scr[:, pl.ds(st, ch)] = kb
+        vb = jax.lax.dot_general(
+            wv_ref[...], xb, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        v_scr[:, pl.ds(st, ch)] = vb
+        ok = lane_ok(st)
+        kb = jnp.where(ok, kb, -jnp.inf)
+        bm = jnp.max(kb, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, bm)
+        resc = jnp.exp(m - m_new)
+        w = jnp.where(ok, jnp.exp(kb - m_new), 0.0)
+        acc = acc * resc + jax.lax.dot_general(
+            w.astype(cdt), vb.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        s = s * resc + jnp.sum(w, axis=1, keepdims=True)
+        return (m_new, s, acc)
+
+    m0 = jnp.full((d, 1), -jnp.inf, f32)
+    km, ks_sum, acc = jax.lax.fori_loop(
+        0, n_chunks, ra, (m0, jnp.zeros((d, 1), f32), jnp.zeros((d, d), f32)))
+    ctx = (acc / jnp.maximum(ks_sum, 1e-30)).astype(cdt)
+
+    def ksoft(st):
+        """k softmax chunk from the staged k matmul (masked lanes -> 0)."""
+        kb = k_scr[:, pl.ds(st, ch)]
+        w = jnp.exp(kb - km) / jnp.maximum(ks_sum, 1e-30)
+        return jnp.where(lane_ok(st), w, 0.0)               # (D, ch) f32
+
+    # ---- pass-B recompute: q staged, y staged, post-GN stats ----
+    def rb(i, sy):
+        st = i * ch
+        xb = xnorm(st)
+        qb = jax.lax.dot_general(
+            wq_ref[...], xb, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        q_scr[:, pl.ds(st, ch)] = qb
+        rm = jnp.max(qb, axis=0, keepdims=True)
+        qe = jnp.exp(qb - rm)
+        qs = (qe / jnp.sum(qe, axis=0, keepdims=True) * sc).astype(cdt)
+        ob = jax.lax.dot_general(
+            ctx, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        yb = jax.lax.dot_general(
+            wo_ref[...], ob.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) + bo_ref[...]
+        yb = jnp.where(lane_ok(st), yb, 0.0)
+        y_scr[:, pl.ds(st, ch)] = yb
+        return sy + jnp.sum(yb)
+
+    mu_y = jax.lax.fori_loop(0, n_chunks, rb, f32(0.0)) / denom
+
+    def qsoft(st):
+        """(qs0 unscaled softmax, scaled-cdt qs) from the staged q matmul."""
+        qb = q_scr[:, pl.ds(st, ch)]
+        rm = jnp.max(qb, axis=0, keepdims=True)
+        qe = jnp.exp(qb - rm)
+        qs0 = qe / jnp.sum(qe, axis=0, keepdims=True)
+        return qs0, (qs0 * sc).astype(cdt)
+
+    def sy2(i, ss):
+        yb = y_scr[:, pl.ds(i * ch, ch)]
+        dyb = jnp.where(lane_ok(i * ch), yb - mu_y, 0.0)
+        return ss + jnp.sum(dyb * dyb)
+
+    var_y = jax.lax.fori_loop(0, n_chunks, sy2, f32(0.0)) / denom
+    inv_y = jax.lax.rsqrt(var_y + eps)
+    g2 = gos_ref[...]
+
+    def yhat(st):
+        yb = y_scr[:, pl.ds(st, ch)]
+        return jnp.where(lane_ok(st), (yb - mu_y) * inv_y, 0.0)
+
+    # ---- post-GN backward: global sums + affine grads ----
+    def pg(i, carry):
+        s1, s2, dg2a, db2a = carry
+        st = i * ch
+        gb = jnp.where(lane_ok(st),
+                       gt_ref[0, :, pl.ds(st, ch)].astype(f32), 0.0)
+        yh = yhat(st)
+        dyh = g2 * gb
+        return (s1 + jnp.sum(dyh), s2 + jnp.sum(dyh * yh),
+                dg2a + jnp.sum(gb * yh, axis=1, keepdims=True),
+                db2a + jnp.sum(gb, axis=1, keepdims=True))
+
+    z_c = jnp.zeros((C, 1), f32)
+    S1, S2, dg2_acc, db2_acc = jax.lax.fori_loop(
+        0, n_chunks, pg, (f32(0.0), f32(0.0), z_c, z_c))
+    dg2_ref[0] = dg2_acc
+    db2_ref[0] = db2_acc
+
+    # ---- main backward chunk loop: dy -> do -> dqs/dctx -> dq -> dxn ----
+    def mainb(i, carry):
+        dbo_a, dwo_a, dctx_a, dwq_a = carry
+        st = i * ch
+        gb = jnp.where(lane_ok(st),
+                       gt_ref[0, :, pl.ds(st, ch)].astype(f32), 0.0)
+        yh = yhat(st)
+        dyh = g2 * gb
+        dy = jnp.where(lane_ok(st),
+                       inv_y * (dyh - S1 / denom - yh * (S2 / denom)), 0.0)
+        dbo_a = dbo_a + jnp.sum(dy, axis=1, keepdims=True)
+        qs0, qs = qsoft(st)
+        ob = jax.lax.dot_general(
+            ctx, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                      # (E, ch)
+        # dWo(e, c) += sum_n o(e, n) dy(c, n)
+        dwo_a = dwo_a + jax.lax.dot_general(
+            ob.astype(cdt), dy.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        # do(e, n) = sum_c wo(e, c) dy(c, n)
+        do = jax.lax.dot_general(
+            wo_ref[...], dy.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                      # (E, ch)
+        # dqs(d, n) = sum_e ctx(d, e) do(e, n)
+        dqs = jax.lax.dot_general(
+            ctx, do.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                      # (D, ch)
+        # dctx(d, e) += sum_n qs(d, n) do(e, n)
+        dctx_a = dctx_a + jax.lax.dot_general(
+            qs, do.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        dqs0 = dqs * sc
+        colsum = jnp.sum(qs0 * dqs0, axis=0, keepdims=True)
+        dq = qs0 * (dqs0 - colsum)                           # (D, ch)
+        # dxn = Wq dq (Wk/Wv parts added later)
+        dxn_scr[:, pl.ds(st, ch)] = jax.lax.dot_general(
+            wq_ref[...], dq.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        # dWq(c, d) += sum_n xn(c, n) dq(d, n)
+        dwq_a = dwq_a + jax.lax.dot_general(
+            xnorm(st), dq.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        return (dbo_a, dwo_a, dctx_a, dwq_a)
+
+    dbo_acc, dwo_acc, dctx, dwq_acc = jax.lax.fori_loop(
+        0, n_chunks, mainb,
+        (z_c, jnp.zeros((d, C), f32), jnp.zeros((d, d), f32),
+         jnp.zeros((C, d), f32)))
+    dbo_ref[0] = dbo_acc
+    dwo_ref[0] = dwo_acc
+    dwq_ref[0] = dwq_acc
+    dctx_c = dctx.astype(cdt)
+
+    # ---- k-softmax backward: r_d, then dk/dv -> dxn; dWk/dWv ----
+    def rloop(i, carry):
+        r, dwv_a = carry
+        st = i * ch
+        kw = ksoft(st)
+        vb = v_scr[:, pl.ds(st, ch)]
+        # dks(d, n) = sum_e dctx(d, e) v(e, n)
+        dks = jax.lax.dot_general(
+            dctx_c, vb.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        r = r + jnp.sum(kw * dks, axis=1, keepdims=True)
+        # dv(e, n) = sum_d dctx(d, e) ks(d, n)  (independent of r)
+        dv = jax.lax.dot_general(
+            dctx_c, kw.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dxn_scr[:, pl.ds(st, ch)] += jax.lax.dot_general(
+            wv_ref[...], dv.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dwv_a = dwv_a + jax.lax.dot_general(
+            xnorm(st), dv.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        return (r, dwv_a)
+
+    r_d, dwv_acc = jax.lax.fori_loop(
+        0, n_chunks, rloop, (jnp.zeros((d, 1), f32), jnp.zeros((C, d), f32)))
+    dwv_ref[0] = dwv_acc
+
+    def kloop(i, dwk_a):
+        st = i * ch
+        kw = ksoft(st)
+        vb = v_scr[:, pl.ds(st, ch)]
+        dks = jax.lax.dot_general(
+            dctx_c, vb.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dk = kw * (dks - r_d)                                # (D, ch)
+        dxn_scr[:, pl.ds(st, ch)] += jax.lax.dot_general(
+            wk_ref[...], dk.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        return dwk_a + jax.lax.dot_general(
+            xnorm(st), dk.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    dwk_acc = jax.lax.fori_loop(0, n_chunks, kloop, jnp.zeros((C, d), f32))
+    dwk_ref[0] = dwk_acc
+
+    # ---- pre-GN backward ----
+    def pre(i, carry):
+        t1, t2, dg1a, db1a = carry
+        st = i * ch
+        dxn = dxn_scr[:, pl.ds(st, ch)]
+        xh = jnp.where(lane_ok(st), xhat(st), 0.0)
+        dxh = g1 * dxn
+        return (t1 + jnp.sum(dxh), t2 + jnp.sum(dxh * xh),
+                dg1a + jnp.sum(dxn * xh, axis=1, keepdims=True),
+                db1a + jnp.sum(dxn, axis=1, keepdims=True))
+
+    T1, T2, dg1_acc, db1_acc = jax.lax.fori_loop(
+        0, n_chunks, pre, (f32(0.0), f32(0.0), z_c, z_c))
+    dg1_ref[0] = dg1_acc
+    db1_ref[0] = db1_acc
+
+    def fin(i, _):
+        st = i * ch
+        gb = gt_ref[0, :, pl.ds(st, ch)].astype(f32)
+        dxh = g1 * dxn_scr[:, pl.ds(st, ch)]
+        xh = xhat(st)
+        dx = inv * (dxh - T1 / denom - xh * (T2 / denom)) + gb
+        dxt_ref[0, :, pl.ds(st, ch)] = dx.astype(dxt_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, fin, 0)
+
+
+def _block_backward_pallas(x, gps, gpb, w_qkv, w_out, b_out, gos, gob,
+                           dim_head, eps, interpret, g):
+    B, N, C = x.shape
+    D = dim_head
+    wq, wk, wv = w_qkv[:, :D], w_qkv[:, D:2 * D], w_qkv[:, 2 * D:]
+    ch, n_pad = _pick_chunk(N)
+
+    def col(v):
+        return v.reshape(C, 1).astype(jnp.float32)
+
+    def tp(a):
+        a = jnp.swapaxes(a, 1, 2)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, n_pad - N)))
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_block_bwd_kernel, n_total=N, ch=ch,
+                          n_chunks=n_pad // ch, dim_head=D, eps=eps),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, C, n_pad), lambda b: (b, 0, 0)),
+                  pl.BlockSpec((1, C, n_pad), lambda b: (b, 0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0)),
+                  pl.BlockSpec((C, D), lambda b: (0, 0)),
+                  pl.BlockSpec((C, D), lambda b: (0, 0)),
+                  pl.BlockSpec((C, D), lambda b: (0, 0)),
+                  pl.BlockSpec((D, C), lambda b: (0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0)),
+                  pl.BlockSpec((C, 1), lambda b: (0, 0))],
+        out_specs=[pl.BlockSpec((1, C, n_pad), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, C, D), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, C, D), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, C, D), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, D, C), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B, C, n_pad), x.dtype),
+                   jax.ShapeDtypeStruct((B, C, 1), f32),
+                   jax.ShapeDtypeStruct((B, C, 1), f32),
+                   jax.ShapeDtypeStruct((B, C, D), f32),
+                   jax.ShapeDtypeStruct((B, C, D), f32),
+                   jax.ShapeDtypeStruct((B, C, D), f32),
+                   jax.ShapeDtypeStruct((B, D, C), f32),
+                   jax.ShapeDtypeStruct((B, C, 1), f32),
+                   jax.ShapeDtypeStruct((B, C, 1), f32),
+                   jax.ShapeDtypeStruct((B, C, 1), f32)],
+        scratch_shapes=[pltpu.VMEM((C, n_pad), f32),
+                        pltpu.VMEM((C, n_pad), f32),
+                        pltpu.VMEM((D, n_pad), f32),
+                        pltpu.VMEM((D, n_pad), f32),
+                        pltpu.VMEM((D, n_pad), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(tp(x), tp(g.astype(x.dtype)), col(gps), col(gpb), wq, wk, wv, w_out,
+      col(b_out), col(gos))
+
+    (dxt, dg1, db1, dwq, dwk, dwv, dwo, dbo, dg2, db2) = outs
+    dx = jnp.swapaxes(dxt[:, :, :N], 1, 2)
+    dw_qkv = jnp.concatenate(
+        [dwq.sum(0), dwk.sum(0), dwv.sum(0)], axis=1).astype(w_qkv.dtype)
+    return (dx,
+            dg1.sum(0).reshape(C).astype(gps.dtype),
+            db1.sum(0).reshape(C).astype(gpb.dtype),
+            dw_qkv,
+            dwo.sum(0).astype(w_out.dtype),
+            dbo.sum(0).reshape(C).astype(b_out.dtype),
+            dg2.sum(0).reshape(C).astype(gos.dtype),
+            db2.sum(0).reshape(C).astype(gob.dtype))
+
+
 def _block_bwd(dim_head, eps, interpret, res, g):
-    _, vjp = jax.vjp(
-        lambda *a: attention_block_reference(*a, dim_head=dim_head, eps=eps),
-        *res)
-    return vjp(g)
+    x, gps, gpb, w_qkv, w_out, b_out, gos, gob = res
+    return _block_backward_pallas(x, gps, gpb, w_qkv, w_out, b_out, gos,
+                                  gob, dim_head, eps, interpret, g)
 
 
 _block.defvjp(_block_fwd, _block_bwd)

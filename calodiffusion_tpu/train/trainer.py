@@ -383,9 +383,11 @@ class TrainDiffusion(Train):
                 for E_d, lay_d, data_d in self._epoch_batches(timer):
                     self.rng, k = jax.random.split(self.rng)
                     with timer.phase("step"), training_trace():
-                        # training_trace: the fused attention kernels skip
-                        # gradient-bearing traces (their XLA-VJP backward
-                        # would re-run the forward; sampling keeps them)
+                        # training_trace: marks gradient-bearing traces so
+                        # the attention dispatch can pick the right
+                        # formulation (fused Pallas fwd+bwd by default;
+                        # CALODIFF_FUSED_ATTN=fwdonly restores the unfused
+                        # XLA backward)
                         (self.params, self.opt_state, self.ema_params,
                          loss) = train_step(
                             self.params, self.opt_state, self.ema_params, k,

@@ -23,7 +23,7 @@ from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
 
-def step_time(config, use_training_trace=True, runs=10):
+def step_time(config, use_training_trace=True, runs=10, verbose=False):
     model = CaloDiffusion(config, n_steps=400, loss_type="l2")
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-4)
@@ -48,12 +48,19 @@ def step_time(config, use_training_trace=True, runs=10):
     with ctx:
         params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(4))
     jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for i in range(runs):
-        params, opt_state, loss = step(
-            params, opt_state, jax.random.PRNGKey(5 + i))
-    jax.block_until_ready(loss)
-    return (time.perf_counter() - t0) / runs
+    if verbose:
+        print(f"  warmup loss: {float(loss):.5f}")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(runs):
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.PRNGKey(5 + i))
+        jax.block_until_ready(loss)
+        best = min(best, (time.perf_counter() - t0) / runs)
+    if verbose:
+        print(f"  final loss: {float(loss):.5f}")
+    return best
 
 
 if __name__ == "__main__":
@@ -62,17 +69,18 @@ if __name__ == "__main__":
     tmpdir = tempfile.mkdtemp(prefix="ab_")
     cfg = bench._dataset_config("ds2", tmpdir)
 
-    t_prod = step_time(dict(cfg), use_training_trace=True)
-    print(f"production (unfused XLA attn) : {t_prod*1e3:6.1f} ms")
-
-    cfg_na = dict(cfg)
-    cfg_na["BLOCK_ATTN"] = False
-    cfg_na["MID_ATTN"] = False
-    t_noat = step_time(cfg_na, use_training_trace=True)
-    print(f"no attention (ceiling)        : {t_noat*1e3:6.1f} ms")
-
-    t_fused = step_time(dict(cfg), use_training_trace=False)
-    print(f"fused fwd + XLA-recompute bwd : {t_fused*1e3:6.1f} ms")
-
-    print(f"\nattention cost in train step  : {(t_prod-t_noat)*1e3:6.1f} ms "
-          f"({(t_prod-t_noat)/t_prod*100:.0f}% of step)")
+    mode = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if mode in ("all", "prod"):
+        t = step_time(dict(cfg), use_training_trace=True, verbose=True)
+        print(f"production attention path     : {t*1e3:6.1f} ms")
+    if mode in ("all", "noattn"):
+        cfg_na = dict(cfg)
+        cfg_na["BLOCK_ATTN"] = False
+        cfg_na["MID_ATTN"] = False
+        t = step_time(cfg_na, use_training_trace=True, verbose=True)
+        print(f"no attention (ceiling)        : {t*1e3:6.1f} ms")
+    if mode in ("all", "fwdonly"):
+        os.environ["CALODIFF_FUSED_ATTN"] = "fwdonly"
+        t = step_time(dict(cfg), use_training_trace=True, verbose=True)
+        del os.environ["CALODIFF_FUSED_ATTN"]
+        print(f"fwdonly (unfused XLA in train): {t*1e3:6.1f} ms")

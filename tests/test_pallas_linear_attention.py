@@ -113,6 +113,11 @@ def test_fused_block_bf16():
 
 
 def test_fused_block_gradients_match_reference():
+    """The Pallas backward kernel vs the XLA reference VJP in f32.  Both
+    carry their own f32 roundoff through the GroupNorm-backward
+    cancellations (~1e-4 max-norm relative, measured), so compare in
+    max-norm; `test_fused_block_gradients_f64_truth` pins the kernel much
+    tighter against f64 ground truth."""
     args = _block_inputs(2, 700, 32, seed=3)
 
     def loss_fused(*a):
@@ -127,9 +132,45 @@ def test_fused_block_gradients_match_reference():
     got = jax.grad(loss_fused, argnums=idx)(*args)
     want = jax.grad(loss_ref, argnums=idx)(*args)
     for g, w in zip(got, want):
-        np.testing.assert_allclose(
-            np.asarray(g), np.asarray(w), rtol=8e-4, atol=8e-5
-        )
+        g, w = np.asarray(g), np.asarray(w)
+        err = np.max(np.abs(g - w)) / (np.max(np.abs(w)) + 1e-9)
+        assert err < 3e-3, f"max-norm-relative grad error {err:.2e}"
+
+
+def test_fused_block_gradients_f64_truth():
+    """The backward kernel computes internally in f32; against the f64
+    reference VJP its grads must sit at f32-roundoff scale (~1e-6
+    max-norm relative) — any missing/wrong term would show at 1e-4+."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    with enable_x64():
+        ks = jax.random.split(jax.random.PRNGKey(7), 8)
+        C, D = 32, 32
+        mk = lambda k, sh, s, o=0.0: (
+            jax.random.normal(k, sh, jnp.float64) * s + o)
+        args = (mk(ks[0], (2, 700, C), 1.0), mk(ks[1], (C,), 0.5, 1.0),
+                mk(ks[2], (C,), 0.1), mk(ks[3], (C, 3 * D), 0.2),
+                mk(ks[4], (D, C), 0.2), mk(ks[5], (C,), 0.1),
+                mk(ks[6], (C,), 0.5, 1.0), mk(ks[7], (C,), 0.1))
+        idx = tuple(range(len(args)))
+        got = jax.grad(
+            lambda *a: jnp.sum(fused_attention_block(*a, interpret=True) ** 2),
+            argnums=idx)(*args)
+        want = jax.grad(
+            lambda *a: jnp.sum(attention_block_reference(*a) ** 2),
+            argnums=idx)(*args)
+        for g, w in zip(got, want):
+            g, w = np.asarray(g), np.asarray(w)
+            err = np.max(np.abs(g - w)) / (np.max(np.abs(w)) + 1e-12)
+            assert err < 1e-5, f"max-norm-relative grad error {err:.2e}"
 
 
 def test_training_trace_formulation_matches():
