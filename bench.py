@@ -334,9 +334,11 @@ def main():
                 "(BENCH_REFRESH=1 to re-measure)")
         else:
             fam = {}
-            # ds3 runs at batch 128: XLA conv throughput scales strongly
-            # with batch (B32->0.74, B128->2.98 showers/s; flat wall/run)
-            for name, b in (("ds1", 128), ("ds3", 128), ("hgcal", 64)):
+            # per-family batch = smallest batch on the throughput plateau
+            # (ds3: B32->0.74 vs B128->2.98 showers/s; hgcal: B64->13.1 vs
+            # B128->25.5, B64 was occupancy-limited; ds1 nearly flat
+            # 143.7@128 -> 147.8@512)
+            for name, b in (("ds1", 512), ("ds3", 128), ("hgcal", 128)):
                 try:
                     cfg = _dataset_config(name, tmpdir)
                     val, _ = measure_sampling(cfg, b, num_steps, runs=1)
