@@ -169,6 +169,11 @@ def measure_sampling(config, batch: int, num_steps: int, runs: int = 3,
     key = jax.random.PRNGKey(0)
     params = model.init(key)
     sampler = model.make_sampler()
+    if model.int8_sampling_enabled():  # QUANT_INT8: calibrate outside jit
+        t0 = time.perf_counter()
+        model.prepare_int8(params)
+        log(f"int8 calibration: {time.perf_counter() - t0:.1f}s "
+            f"({len(model._int8_scales)} convs)")
 
     n_cond = 3 if config.get("HGCAL") else 1
     E = jnp.asarray(
@@ -346,6 +351,16 @@ def main():
                     log(f"{name}: {val:.2f} showers/sec @ batch {b}")
                 except Exception as e:
                     log(f"{name} bench failed: {e}")
+            # opt-in W8A8 int8 sampling (ops/quant.py; TPU-only)
+            for name, b in (("ds2", batch), ("ds3", 128), ("hgcal", 128)):
+                try:
+                    cfg = dict(_dataset_config(name, tmpdir),
+                               QUANT_INT8=True)
+                    val, _ = measure_sampling(cfg, b, num_steps, runs=1)
+                    fam[f"{name}_int8_showers_per_sec"] = round(val, 3)
+                    log(f"{name} int8: {val:.2f} showers/sec @ batch {b}")
+                except Exception as e:
+                    log(f"{name} int8 bench failed: {e}")
             extras.update(fam)
             with open(extras_cache, "w") as f:
                 json.dump(fam, f, indent=1)
@@ -358,6 +373,9 @@ def main():
             fid = json.load(f)
         extras["separation_power_etot"] = fid.get("Etot")
         extras["fidelity_ok"] = fid.get("ok")
+        if "int8_ok" in fid:  # QUANT_INT8 accuracy gate (same weights)
+            extras["int8_fidelity_ok"] = fid.get("int8_ok")
+            extras["int8_separation_power_etot"] = fid.get("int8_Etot")
         # sharper instruments when the fidelity runs recorded them:
         # DNN classifier AUC (0.5 = indistinguishable), JSD, and FPD,
         # per family (ds2 keys are unprefixed; hgcal_/ds1_/layer_ prefixed)

@@ -88,11 +88,16 @@ def inference(ctx, debug, config, data_folder, checkpoint_folder, layer_only,
               help="For samplers requiring pre-training, train them")
 @click.option("--model-loc", default=None,
               help="Specific folder for loading existing model")
+@click.option("--int8/--no-int8", default=None,
+              help="W8A8 int8 sampling on TPU (config QUANT_INT8; "
+                   "TPU-native extension, see ops/quant.py)")
 @click.pass_context
 def sample(ctx, generated, sample_file, sample_steps, sample_algo,
            sample_offset, sparse_decoding, sparse_per_batch, batch_size,
-           train_sampler, model_loc):
+           train_sampler, model_loc, int8):
     ctx.obj.config["SAMPLER"] = sample_algo
+    if int8 is not None:
+        ctx.obj.config["QUANT_INT8"] = int8
     if "SAMPLER_OPTIONS" not in ctx.obj.config:
         ctx.obj.config["SAMPLER_OPTIONS"] = {}
     if train_sampler is not None:

@@ -123,6 +123,7 @@ class CaloDiffusion:
         self.loss_function = get_loss(self.training_objective)(
             c, self.nsteps, self.loss_type
         )
+        self._int8_scales = None  # W8A8 sampling calibration (prepare_int8)
 
         if "orig" not in shower_embed:
             self._data_shape = tuple(c["SHAPE_PAD"][1:])
@@ -257,7 +258,11 @@ class CaloDiffusion:
             return 0.5 * jnp.log(sigma)
         raise ValueError(f"Unknown TIME_EMBED {self.time_embed}")
 
-    def forward(self, params, x, E, time, layers=None, controls=None):
+    def forward(self, params, x, E, time, layers=None, controls=None,
+                mutable=None):
+        if mutable is not None:
+            return self.net.apply(params, x, E, time, layers, controls,
+                                  mutable=mutable)
         return self.net.apply(params, x, E, time, layers, controls)
 
     def denoise(self, params, x, E=None, sigma=None, layers=None, controls=None):
@@ -295,6 +300,85 @@ class CaloDiffusion:
     def noise_generation(self, key, shape):
         return jax.random.normal(key, shape, dtype=jnp.float32)
 
+    # -- int8 sampling (ops/quant.py) ---------------------------------------
+    def int8_sampling_enabled(self) -> bool:
+        from calodiffusion_tpu.ops import quant
+
+        return bool(self.config.get("QUANT_INT8", False)) and quant.int8_allowed()
+
+    def _int8_ctx(self, params):
+        """Context manager activating int8 conv dispatch for traces opened
+        inside it (no-op unless QUANT_INT8 is enabled).  Calibrates lazily
+        when params are concrete; raises under jit without scales."""
+        import contextlib
+
+        from calodiffusion_tpu.ops import quant
+
+        if not self.int8_sampling_enabled():
+            return contextlib.nullcontext()
+        if getattr(self, "_int8_scales", None) is None:
+            leaves = jax.tree_util.tree_leaves(params)
+            if leaves and isinstance(leaves[0], jax.core.Tracer):
+                raise RuntimeError(
+                    "QUANT_INT8 sampling inside jit needs calibrated "
+                    "scales: call model.prepare_int8(params) before "
+                    "tracing sample()."
+                )
+            self.prepare_int8(params)
+        return quant.quant_scales(self._int8_scales)
+
+    def prepare_int8(self, params, n_sigmas: int = 8, batch: int = 8,
+                     key=None):
+        """Calibrate static per-conv activation scales for W8A8 sampling.
+
+        Runs a handful of denoise calls on prior-like inputs across the
+        discrete sigma table, recording each quantized conv's input
+        abs-max (ops/quant.py).  One jitted denoise with (x, sigma) as
+        arguments serves all sigmas — one compile, n_sigmas fast calls.
+        Must be called with CONCRETE params (outside jit); `generate()`
+        does it automatically.  Scales are cached on the model instance —
+        call again after loading different params."""
+        from calodiffusion_tpu.ops import quant
+        from calodiffusion_tpu.samplers import schedules
+
+        key = jax.random.PRNGKey(4321) if key is None else key
+        _, E, layers = self.example_batch(batch)
+        kE, key = jax.random.split(key)
+        E = jax.random.uniform(kE, E.shape)
+        if layers is not None:
+            kL, key = jax.random.split(key)
+            layers = jax.random.normal(kL, layers.shape)
+
+        sig_tab = schedules.discrete_sigmas(max(self.nsteps, 2))
+        lo = max(float(sig_tab.min()), 1e-3)
+        hi = float(sig_tab.max())
+        shape = (batch, *self._data_shape)
+
+        def calib_step(p, x, sigma):
+            t_emb = self.do_time_embed(jnp.reshape(sigma, (-1,)))
+            scales = self.loss_function.get_scaling(sigma)
+            _, aux = self.forward(
+                p, x * scales["c_in"], E, t_emb, layers,
+                mutable=[quant.STATS_COL],
+            )
+            return aux
+
+        table: dict = {}
+        with quant.calibration():
+            jitted = jax.jit(calib_step)
+            for s in np.geomspace(lo, hi, n_sigmas):
+                key, k1 = jax.random.split(key)
+                x = self.noise_generation(k1, shape) * float(s)
+                sigma = jnp.full((batch,) + (1,) * (len(shape) - 1),
+                                 float(s))
+                aux = jitted(params, x, sigma)
+                table = quant.merge_stats(
+                    table,
+                    quant.scales_from_stats(aux.get(quant.STATS_COL, {})),
+                )
+        self._int8_scales = table
+        return table
+
     def make_sampler(self, sampler_name: Optional[str] = None):
         from calodiffusion_tpu.samplers import get_sampler
 
@@ -312,7 +396,21 @@ class CaloDiffusion:
         sequential microbatches via ``lax.map``: per-step activations then
         stay VMEM-resident instead of streaming through HBM, which keeps
         large-batch throughput at the batch-128 sweet spot (the round-1
-        HBM cliff, BASELINE.md)."""
+        HBM cliff, BASELINE.md).
+
+        With config ``QUANT_INT8`` the U-Net's block convolutions run in
+        W8A8 int8 on the MXU (ops/quant.py); calibration happens lazily
+        here when params are concrete, else call `prepare_int8` first."""
+        with self._int8_ctx(params):
+            return self._sample_impl(
+                params, key, energy, layers, num_steps, sample_offset,
+                debug, sampler,
+            )
+
+    def _sample_impl(
+        self, params, key, energy, layers, num_steps,
+        sample_offset, debug, sampler,
+    ):
         if sampler is None:
             sampler = self.make_sampler()
         B = energy.shape[0]
@@ -370,6 +468,9 @@ class CaloDiffusion:
         orig_shape = "orig" in c.get("SHOWER_EMBED", "")
         if sampler is None:
             sampler = self.make_sampler()
+
+        if self.int8_sampling_enabled() and self._int8_scales is None:
+            self.prepare_int8(params)
 
         jitted = jax.jit(
             lambda p, k, E, lay: self.sample(

@@ -91,6 +91,13 @@ class LayerDiffusion(CaloDiffusion):
         return super().denoise(base, x, E=E, sigma=sigma, layers=layers,
                                controls=controls)
 
+    def prepare_int8(self, params, **kw):
+        """int8 calibration runs on the shower U-Net only (the layer
+        ResNet has no convolutions)."""
+        base = params["base_model"] if isinstance(params, dict) and \
+            "base_model" in params else params
+        return super().prepare_int8(base, **kw)
+
     def compute_loss(self, params, key, data, energy, noise=None, layers=None,
                      time=None, rnd_normal=None):
         if self.layer_loss:
@@ -129,7 +136,9 @@ class LayerDiffusion(CaloDiffusion):
                sample_offset=0, debug=False, sampler=None,
                return_layers=False):
         """Two-stage sampling; returns a dict like the reference
-        (layerdiffusion.py:130-163)."""
+        (layerdiffusion.py:130-163).  With config ``QUANT_INT8`` the
+        shower U-Net stage runs its convs in W8A8 int8 (ops/quant.py); the
+        layer ResNet stage has no convolutions and is unaffected."""
         if sampler is None:
             sampler = self.make_sampler()
         k_lay, k_start, k_samp = jax.random.split(key, 3)
@@ -138,10 +147,11 @@ class LayerDiffusion(CaloDiffusion):
         )
         shape = (energy.shape[0], *self._data_shape)
         start = self.noise_generation(k_start, shape)
-        out = sampler(
-            self, params, start, energy, gen_layers, num_steps,
-            sample_offset or 0, k_samp, debug,
-        )
+        with self._int8_ctx(params):
+            out = sampler(
+                self, params, start, energy, gen_layers, num_steps,
+                sample_offset or 0, k_samp, debug,
+            )
         if debug:
             x, xs, x0s = out
         else:

@@ -46,7 +46,15 @@ def _triple(v):
 
 
 class Conv3d(nn.Module):
-    """3D convolution, optionally cylindrical (circular phi padding)."""
+    """3D convolution, optionally cylindrical (circular phi padding).
+
+    ``quantize=True`` (set on the U-Net's inner block convs) opts the
+    module into the sampling-only W8A8 int8 path (ops/quant.py): during a
+    calibration trace it sows its input abs-max into the ``quant_stats``
+    collection; during an int8 sampling trace it runs the s8 x s8 -> s32
+    MXU conv with its calibrated static activation scale.  Everything
+    else (training, val loss, CPU, no calibration) is bit-identical to
+    the plain path."""
 
     features: int
     kernel_size: Any = 3
@@ -55,6 +63,7 @@ class Conv3d(nn.Module):
     cylindrical: bool = False
     use_bias: bool = True
     zero_init: bool = False
+    quantize: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,6 +80,22 @@ class Conv3d(nn.Module):
                 nn.initializers.zeros if self.zero_init else torch_conv_bias_init(fan_in)
             )
             b = self.param("bias", binit, (self.features,)).astype(self.dtype)
+        if self.quantize:
+            from calodiffusion_tpu.ops import quant
+
+            if quant.calibrating():
+                self.sow(
+                    quant.STATS_COL, "absmax",
+                    jnp.max(jnp.abs(x)).astype(jnp.float32),
+                )
+            else:
+                sx = quant.scale_for("/".join(self.path))
+                if sx is not None:
+                    return quant.int8_conv3d(
+                        x.astype(self.dtype), w, b, sx,
+                        stride=self.stride, padding=self.padding,
+                        cylindrical=self.cylindrical,
+                    )
         op = cylindrical_conv3d if self.cylindrical else conv3d
         return op(x.astype(self.dtype), w, b, stride=self.stride, padding=self.padding)
 
@@ -210,7 +235,7 @@ class Block(nn.Module):
     def __call__(self, x, scale_shift=None):
         x = Conv3d(
             self.features, kernel_size=3, padding=1,
-            cylindrical=self.cylindrical, dtype=self.dtype,
+            cylindrical=self.cylindrical, dtype=self.dtype, quantize=True,
         )(x)
         x = GroupNorm(self.groups, dtype=self.dtype)(x)
         if scale_shift is not None:
@@ -238,7 +263,7 @@ class ResnetBlock(nn.Module):
         if x.shape[-1] != self.features:
             res = Conv3d(
                 self.features, kernel_size=1, cylindrical=self.cylindrical,
-                dtype=self.dtype,
+                dtype=self.dtype, quantize=True,
             )(x)
         else:
             res = x
@@ -269,18 +294,18 @@ class ConvNextBlock(nn.Module):
             h = GroupNorm(1, dtype=self.dtype)(h)
         h = Conv3d(
             self.features * self.mult, kernel_size=3, padding=1,
-            cylindrical=self.cylindrical, dtype=self.dtype,
+            cylindrical=self.cylindrical, dtype=self.dtype, quantize=True,
         )(h)
         h = nn.gelu(h, approximate=False)
         h = GroupNorm(1, dtype=self.dtype)(h)
         h = Conv3d(
             self.features, kernel_size=3, padding=1,
-            cylindrical=self.cylindrical, dtype=self.dtype,
+            cylindrical=self.cylindrical, dtype=self.dtype, quantize=True,
         )(h)
         if dim != self.features:
             res = Conv3d(
                 self.features, kernel_size=1, cylindrical=self.cylindrical,
-                dtype=self.dtype,
+                dtype=self.dtype, quantize=True,
             )(x)
         else:
             res = x
@@ -581,7 +606,7 @@ def downsample_module(dim, cylindrical, compress_Z, dtype):
     z_stride = 2 if compress_Z else 1
     return Conv3d(
         dim, kernel_size=(3, 4, 4), stride=(z_stride, 2, 2), padding=1,
-        cylindrical=cylindrical, dtype=dtype,
+        cylindrical=cylindrical, dtype=dtype, quantize=True,
     )
 
 

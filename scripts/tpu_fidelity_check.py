@@ -5,7 +5,10 @@ dependent longitudinal/radial profiles), generates with 400-step DDIM, and
 reports separation powers between generated and 'Geant' distributions -
 the same gate the evaluation suite applies to real data.
 
-Run: python scripts/tpu_fidelity_check.py [epochs]
+Run: python scripts/tpu_fidelity_check.py [epochs] [--int8]
+     (--int8 additionally generates with W8A8 int8 sampling from the same
+      trained weights and records int8_* separations — the accuracy gate
+      for the QUANT_INT8 path)
 """
 
 import json
@@ -52,7 +55,8 @@ def main():
     from calodiffusion_tpu.utils.config import default_flags
     from tests.utils_test import tiny_ds2_config
 
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    epochs = int(pos[0]) if pos else 40
 
     tmp = tempfile.mkdtemp()
     rng = np.random.default_rng(0)
@@ -82,6 +86,42 @@ def main():
         ref = f["showers"][:] * 0.001  # SHOWERSCALE
         ref_e = f["incident_energies"][:] * 0.001
     gen = gen * 1.0  # already physical (GeV-scaled by ReverseNorm)
+
+    seps = compute_seps(ref, ref_e, gen, en, cfg, tmp)
+
+    # W8A8 int8 sampling A/B on the SAME trained weights (ops/quant.py):
+    # the fidelity gate is the accuracy check the int8 path needs — PTQ
+    # noise must not move the physics separations.
+    int8_seps = {}
+    if "--int8" in sys.argv:
+        model.config["QUANT_INT8"] = True
+        if not model.int8_sampling_enabled():
+            print("int8 requested but not allowed on this backend "
+                  "(set CALODIFF_INT8=force off-TPU)", flush=True)
+        else:
+            t0 = time.time()
+            model.prepare_int8(params)
+            print(f"int8 calibration: {time.time()-t0:.0f}s "
+                  f"({len(model._int8_scales)} convs)", flush=True)
+            eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
+                                       eval=True)
+            gen_q, en_q = model.generate(
+                params, jax.random.PRNGKey(0), eval_loader,
+                sample_steps=400,
+            )
+            int8_seps = {
+                f"int8_{k}": v
+                for k, v in compute_seps(ref, ref_e, gen_q, en_q, cfg,
+                                         tmp).items()
+            }
+        model.config["QUANT_INT8"] = False
+
+    finish(seps, int8_seps, epochs)
+
+
+def compute_seps(ref, ref_e, gen, en, cfg, tmp):
+    from calodiffusion_tpu.evaluation.metrics_utils import separation_power
+    from calodiffusion_tpu.utils.config import default_flags
 
     seps = {}
     # total energy
@@ -154,12 +194,23 @@ def main():
     except Exception as err:
         print(f"classifier/FPD metrics failed: {err}", flush=True)
 
+    return seps
+
+
+def finish(seps, int8_seps, epochs):
     for k, v in seps.items():
+        print(f"separation[{k}] = {v:.4f}", flush=True)
+    for k, v in int8_seps.items():
         print(f"separation[{k}] = {v:.4f}", flush=True)
 
     ok = seps["Etot"] < 0.1 and seps["ERatio"] < 0.1 and \
         seps["layer_profile_L1"] < 0.15
     print("FIDELITY", "OK" if ok else "NEEDS MORE TRAINING")
+    if int8_seps:
+        ok_q = int8_seps["int8_Etot"] < 0.1 and \
+            int8_seps["int8_ERatio"] < 0.1 and \
+            int8_seps["int8_layer_profile_L1"] < 0.15
+        print("INT8 FIDELITY", "OK" if ok_q else "DEGRADED")
 
     # persist for bench.py's "at separation power X" field (merge: the
     # family script writes its prefixed entries into the same report)
@@ -170,7 +221,10 @@ def main():
         with open(out) as f:
             report = json.load(f)
     report.update({k: float(v) for k, v in seps.items()})
+    report.update({k: float(v) for k, v in int8_seps.items()})
     report["ok"] = bool(ok)
+    if int8_seps:
+        report["int8_ok"] = bool(ok_q)
     report["epochs"] = epochs
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
