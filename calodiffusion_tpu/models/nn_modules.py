@@ -101,7 +101,10 @@ class Conv3d(nn.Module):
 
 
 class Conv3dTranspose(nn.Module):
-    """Transpose 3D convolution, optionally cylindrical."""
+    """Transpose 3D convolution, optionally cylindrical.
+
+    ``quantize=True`` (set on the U-Net's upsample convs) opts into the
+    sampling-only W8A8 int8 path exactly like `Conv3d` (ops/quant.py)."""
 
     features: int
     kernel_size: Any = (3, 4, 4)
@@ -110,6 +113,7 @@ class Conv3dTranspose(nn.Module):
     output_padding: Any = 0
     cylindrical: bool = False
     use_bias: bool = True
+    quantize: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -125,6 +129,23 @@ class Conv3dTranspose(nn.Module):
             fan_in = self.features * k[0] * k[1] * k[2]
             b = self.param("bias", torch_conv_bias_init(fan_in), (self.features,))
             b = b.astype(self.dtype)
+        if self.quantize:
+            from calodiffusion_tpu.ops import quant
+
+            if quant.calibrating():
+                self.sow(
+                    quant.STATS_COL, "absmax",
+                    jnp.max(jnp.abs(x)).astype(jnp.float32),
+                )
+            else:
+                sx = quant.scale_for("/".join(self.path))
+                if sx is not None:
+                    return quant.int8_conv3d_transpose(
+                        x.astype(self.dtype), w, b, sx,
+                        stride=self.stride, padding=self.padding,
+                        output_padding=self.output_padding,
+                        cylindrical=self.cylindrical,
+                    )
         op = cylindrical_conv3d_transpose if self.cylindrical else conv3d_transpose
         return op(
             x.astype(self.dtype), w, b,
@@ -617,6 +638,7 @@ def upsample_module(dim, extra_upsample, cylindrical, compress_Z, dtype):
     return Conv3dTranspose(
         dim, kernel_size=(z_kernel, 4, 4), stride=(z_stride, 2, 2), padding=1,
         output_padding=extra, cylindrical=cylindrical, dtype=dtype,
+        quantize=True,
     )
 
 

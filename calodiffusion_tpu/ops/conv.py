@@ -106,7 +106,8 @@ def _conv3d_transpose_dilated(x, w, b, stride, padding, output_padding):
     return y
 
 
-def _conv3d_transpose_subpixel(x, w, b, stride, padding, output_padding):
+def _conv3d_transpose_subpixel(x, w, b, stride, padding, output_padding,
+                               conv_fn=None):
     """Transpose conv via phase decomposition ("subpixel"): one stride-1
     conv with all s_z*s_a*s_r phase sub-kernels stacked on the output-channel
     axis, followed by a depth-to-space interleave.
@@ -138,13 +139,20 @@ def _conv3d_transpose_subpixel(x, w, b, stride, padding, output_padding):
         Lz, La, Lr, c_in, sz * sa * sr * c_out
     )
 
-    y = lax.conv_general_dilated(
-        x, sub,
-        window_strides=(1, 1, 1),
-        padding=[(Lz - 1, Lz - 1), (La - 1, La - 1), (Lr - 1, Lr - 1)],
-        dimension_numbers=DIMS,
-        preferred_element_type=x.dtype,
-    )
+    pads = [(Lz - 1, Lz - 1), (La - 1, La - 1), (Lr - 1, Lr - 1)]
+    if conv_fn is not None:
+        # pluggable core conv (ops/quant.py substitutes the int8 MXU one;
+        # per-output-channel scales stay aligned because dequantization
+        # happens before the phase interleave below)
+        y = conv_fn(x, sub, pads)
+    else:
+        y = lax.conv_general_dilated(
+            x, sub,
+            window_strides=(1, 1, 1),
+            padding=pads,
+            dimension_numbers=DIMS,
+            preferred_element_type=x.dtype,
+        )
     bsz, tz, ta, tr, _ = y.shape
     # interleave: index m = t*s + q
     y = y.reshape(bsz, tz, ta, tr, sz, sa, sr, c_out)
@@ -184,10 +192,12 @@ def conv3d_transpose(
     padding=0,
     output_padding=0,
     impl: str = "subpixel",
+    conv_fn=None,
 ) -> jnp.ndarray:
     """torch-parity ConvTranspose3d: out_i = (in_i-1)*s_i - 2*p_i + k_i + op_i.
 
-    ``w`` has shape (kZ, kA, kR, C_in, C_out).
+    ``w`` has shape (kZ, kA, kR, C_in, C_out).  ``conv_fn`` (subpixel path
+    only) replaces the core stride-1 conv — used by ops/quant.py for int8.
     """
     stride = _triple(stride)
     padding = _triple(padding)
@@ -196,7 +206,8 @@ def conv3d_transpose(
         return _conv3d_transpose_dilated(
             x, w, b, stride, padding, output_padding
         )
-    return _conv3d_transpose_subpixel(x, w, b, stride, padding, output_padding)
+    return _conv3d_transpose_subpixel(x, w, b, stride, padding,
+                                      output_padding, conv_fn=conv_fn)
 
 
 def cylindrical_conv3d_transpose(
@@ -206,6 +217,7 @@ def cylindrical_conv3d_transpose(
     stride=1,
     padding=0,
     output_padding=0,
+    conv_fn=None,
 ) -> jnp.ndarray:
     """Cylindrical transpose conv.
 
@@ -220,7 +232,8 @@ def cylindrical_conv3d_transpose(
     x = wrap_pad_phi(x, pa)
     eff_padding = (pz, k[1] - 1, pr)
     return conv3d_transpose(
-        x, w, b, stride=stride, padding=eff_padding, output_padding=output_padding
+        x, w, b, stride=stride, padding=eff_padding,
+        output_padding=output_padding, conv_fn=conv_fn,
     )
 
 

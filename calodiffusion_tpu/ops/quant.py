@@ -170,3 +170,42 @@ def int8_conv3d(x, w, b, sx: float, stride, padding, cylindrical: bool):
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+def int8_conv3d_transpose(x, w, b, sx: float, stride, padding,
+                          output_padding, cylindrical: bool):
+    """int8 counterpart of conv3d_transpose / cylindrical_conv3d_transpose.
+
+    Reuses the subpixel phase decomposition (ops/conv.py) and substitutes
+    its core stride-1 conv with the s8 x s8 -> s32 MXU one: the subpixel
+    kernel stacks all stride-phase sub-kernels on the output-channel axis
+    (e.g. 8 x Cout = 256 lanes — fully MXU-packed), and dequantization
+    happens before the phase interleave so the per-output-channel weight
+    scales stay aligned.  Falls back to float for stride-1 (the dilated
+    path, unused by the shipped upsample shapes)."""
+    from calodiffusion_tpu.ops.conv import (
+        DIMS, _triple, conv3d_transpose, cylindrical_conv3d_transpose,
+    )
+
+    if all(s == 1 for s in _triple(stride)):
+        op = cylindrical_conv3d_transpose if cylindrical else conv3d_transpose
+        return op(x, w, b, stride=stride, padding=padding,
+                  output_padding=output_padding)
+
+    out_dtype = x.dtype
+
+    def q_conv(xx, sub, pads):
+        wq, sw = quantize_weight_per_cout(sub)
+        xq = quantize_act(xx, sx)
+        y = jax.lax.conv_general_dilated(
+            xq, wq,
+            window_strides=(1, 1, 1),
+            padding=pads,
+            dimension_numbers=DIMS,
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * (sw * sx)).astype(out_dtype)
+
+    op = cylindrical_conv3d_transpose if cylindrical else conv3d_transpose
+    return op(x, w, b, stride=stride, padding=padding,
+              output_padding=output_padding, conv_fn=q_conv)

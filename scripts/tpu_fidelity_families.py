@@ -6,8 +6,11 @@ model end-to-end through the real loader/CLI surfaces, generates with
 400-step DDIM, and records separation powers into fidelity_report.json
 (merged with the ds2 entries; bench.py reports from that file).
 
-Run: python scripts/tpu_fidelity_families.py [epochs] [family ...]
-     (default: 25 epochs, both families)
+Run: python scripts/tpu_fidelity_families.py [epochs] [family ...] [--int8]
+     (default: 25 epochs, both families; --int8 additionally generates
+      with W8A8 int8 sampling from the same trained weights and records
+      int8-prefixed separations — the per-family accuracy gate for
+      QUANT_INT8, ops/quant.py)
 """
 
 import json
@@ -90,6 +93,20 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key):
     eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg, eval=True)
     gen, gen_e = model.generate(params, jax.random.PRNGKey(0), eval_loader,
                                 sample_steps=400)
+
+    gen_q = None
+    if "--int8" in sys.argv:  # same weights, W8A8 int8 sampling
+        model.config["QUANT_INT8"] = True
+        if model.int8_sampling_enabled():
+            eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
+                                       eval=True)
+            gen_q, _ = model.generate(params, jax.random.PRNGKey(0),
+                                      eval_loader, sample_steps=400)
+        else:
+            print(f"[{tag}] int8 requested but not allowed on this backend",
+                  flush=True)
+        model.config["QUANT_INT8"] = False
+
     # generate() returns loader-unit (raw x SHOWERSCALE) showers and
     # physical energies; bring the Geant reference to the same units
     scale = cfg.get("SHOWERSCALE", 200.0)
@@ -101,7 +118,7 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key):
         else:
             ref_e = f["incident_energies"][:].astype(np.float32) * scale
             gen_e_1d = gen_e.reshape(-1)
-    return ref, ref_e, gen, gen_e_1d
+    return ref, ref_e, gen, gen_e_1d, gen_q
 
 
 def hgcal_family(epochs):
@@ -154,10 +171,16 @@ def hgcal_family(epochs):
         BATCH=64, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
         CHECKPOINT_NAME="fidelity_hgcal",
     )
-    ref, ref_e, gen, gen_e = run_family(
+    ref, ref_e, gen, gen_e, gen_q = run_family(
         "hgcal", cfg, tmp, epochs, "hgcal_2.h5", "gen_info"
     )
-    return separations(ref, ref_e, gen, gen_e, nlayer_axis=28)
+    seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=28)
+    if gen_q is not None:
+        seps.update({
+            f"int8_{k}": v for k, v in
+            separations(ref, ref_e, gen_q, gen_e, nlayer_axis=28).items()
+        })
+    return seps
 
 
 def ds1_family(epochs):
@@ -227,11 +250,17 @@ def ds1_family(epochs):
         BATCH=128, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
         CHECKPOINT_NAME="fidelity_ds1",
     )
-    ref, ref_e, gen, gen_e = run_family(
+    ref, ref_e, gen, gen_e, gen_q = run_family(
         "ds1", cfg, tmp, epochs, "dataset_1_photons_2.hdf5",
         "incident_energies",
     )
-    return separations(ref, ref_e, gen, gen_e, nlayer_axis=None)
+    seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=None)
+    if gen_q is not None:
+        seps.update({
+            f"int8_{k}": v for k, v in
+            separations(ref, ref_e, gen_q, gen_e, nlayer_axis=None).items()
+        })
+    return seps
 
 
 def layer_family(epochs):
@@ -308,10 +337,27 @@ def layer_family(epochs):
     gen, gen_e = model.generate(params, jax.random.PRNGKey(0), eval_loader,
                                 sample_steps=400)
 
+    gen_q = None
+    if "--int8" in sys.argv:  # int8 through the two-stage cascade
+        model.config["QUANT_INT8"] = True
+        if model.int8_sampling_enabled():
+            eval_loader, _ = load_data(default_flags(data_folder=tmp),
+                                       inf_cfg, eval=True)
+            gen_q, _ = model.generate(params, jax.random.PRNGKey(0),
+                                      eval_loader, sample_steps=400)
+        model.config["QUANT_INT8"] = False
+
     with h5py.File(os.path.join(tmp, "dataset_2_2.hdf5"), "r") as f:
         ref = f["showers"][:].astype(np.float32) * 0.001
         ref_e = f["incident_energies"][:].astype(np.float32) * 0.001
-    return separations(ref, ref_e, gen, gen_e.reshape(-1), nlayer_axis=45)
+    seps = separations(ref, ref_e, gen, gen_e.reshape(-1), nlayer_axis=45)
+    if gen_q is not None:
+        seps.update({
+            f"int8_{k}": v for k, v in
+            separations(ref, ref_e, gen_q, gen_e.reshape(-1),
+                        nlayer_axis=45).items()
+        })
+    return seps
 
 
 def main():
@@ -319,8 +365,9 @@ def main():
 
     enable_compile_cache()
 
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 25
-    families = sys.argv[2:] or ["hgcal", "ds1"]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    epochs = int(pos[0]) if pos else 25
+    families = pos[1:] or ["hgcal", "ds1"]
 
     report = {}
     if os.path.exists(REPORT):
@@ -337,6 +384,10 @@ def main():
         report[f"{fam}_ok"] = bool(
             seps["Etot"] < 0.1 and seps["ERatio"] < 0.1
         )
+        if "int8_Etot" in seps:
+            report[f"{fam}_int8_ok"] = bool(
+                seps["int8_Etot"] < 0.1 and seps["int8_ERatio"] < 0.1
+            )
         print(f"[{fam}] FIDELITY",
               "OK" if report[f"{fam}_ok"] else "NEEDS MORE TRAINING",
               flush=True)

@@ -65,6 +65,35 @@ def test_int8_conv3d_matches_float_oracle(cylindrical):
     assert rel < 0.05, rel
 
 
+@pytest.mark.parametrize("cylindrical", [False, True])
+@pytest.mark.parametrize("stride,out_pad", [((1, 2, 2), 0), ((2, 2, 2), (0, 1, 1))])
+def test_int8_conv3d_transpose_matches_float_oracle(cylindrical, stride,
+                                                    out_pad):
+    from calodiffusion_tpu.ops.conv import (
+        conv3d_transpose, cylindrical_conv3d_transpose,
+    )
+
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 5, 8, 6, 4))
+    w = jax.random.normal(k2, (3, 4, 4, 4, 8)) * 0.1
+    b = jax.random.normal(k3, (8,)) * 0.01
+    sx = float(jnp.max(jnp.abs(x))) / 127.0
+
+    ref_op = cylindrical_conv3d_transpose if cylindrical else conv3d_transpose
+    y_ref = ref_op(x, w, b, stride=stride, padding=1,
+                   output_padding=out_pad)
+    y_q = quant.int8_conv3d_transpose(
+        x, w, b, sx, stride=stride, padding=1, output_padding=out_pad,
+        cylindrical=cylindrical,
+    )
+    assert y_q.shape == y_ref.shape
+    rel = np.max(np.abs(np.asarray(y_q - y_ref))) / (
+        np.max(np.abs(np.asarray(y_ref))) + 1e-9
+    )
+    assert rel < 0.05, rel
+
+
 def test_scales_from_stats_flattens_module_tree():
     stats = {
         "CondUnet_0": {
