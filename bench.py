@@ -378,10 +378,12 @@ def main():
             extras["int8_separation_power_etot"] = fid.get("int8_Etot")
         # sharper instruments when the fidelity runs recorded them:
         # DNN classifier AUC (0.5 = indistinguishable), JSD, and FPD,
-        # per family (ds2 keys are unprefixed; hgcal_/ds1_/layer_ prefixed)
+        # per family (ds2 keys are unprefixed; hgcal_/ds1_/layer_ prefixed),
+        # plus the per-family QUANT_INT8 gates (hgcal_int8_ok, ...)
         for key, val in fid.items():
             if any(key.endswith(s) for s in
-                   ("classifier_auc", "classifier_jsd", "fpd", "fpd_err")):
+                   ("classifier_auc", "classifier_jsd", "fpd", "fpd_err",
+                    "int8_ok", "int8_Etot")):
                 extras[key] = val
 
     try:

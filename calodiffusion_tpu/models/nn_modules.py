@@ -103,8 +103,13 @@ class Conv3d(nn.Module):
 class Conv3dTranspose(nn.Module):
     """Transpose 3D convolution, optionally cylindrical.
 
-    ``quantize=True`` (set on the U-Net's upsample convs) opts into the
-    sampling-only W8A8 int8 path exactly like `Conv3d` (ops/quant.py)."""
+    ``quantize=True`` (set on the U-Net's upsample convs) makes the
+    sampling-only W8A8 int8 path *available* exactly like `Conv3d`
+    (ops/quant.py), but it is opt-in via CALODIFF_INT8_TRANSPOSE=1:
+    measured A/B on the v5e showed the int8 transpose conv is a small
+    consistent LOSS (ds2 -0.3%, ds3 -1.8%) because the dequant pass
+    before the subpixel phase interleave costs more than the int8 core
+    conv saves (BASELINE.md dead-end table)."""
 
     features: int
     kernel_size: Any = (3, 4, 4)
@@ -129,7 +134,7 @@ class Conv3dTranspose(nn.Module):
             fan_in = self.features * k[0] * k[1] * k[2]
             b = self.param("bias", torch_conv_bias_init(fan_in), (self.features,))
             b = b.astype(self.dtype)
-        if self.quantize:
+        if self.quantize and os.environ.get("CALODIFF_INT8_TRANSPOSE") == "1":
             from calodiffusion_tpu.ops import quant
 
             if quant.calibrating():

@@ -94,6 +94,28 @@ def test_int8_conv3d_transpose_matches_float_oracle(cylindrical, stride,
     assert rel < 0.05, rel
 
 
+def test_int8_transpose_optin_via_env(force_int8, monkeypatch):
+    """CALODIFF_INT8_TRANSPOSE=1 routes the U-Net upsample convs through
+    int8 (off by default: measured as a small loss on the v5e, see
+    BASELINE.md dead-end table).  Sampling must stay close to float and
+    the calibration table must grow the ConvTranspose entries."""
+    monkeypatch.setenv("CALODIFF_INT8_TRANSPOSE", "1")
+    model, params, E, layers = _tiny_model()
+    out_f = model.sample(params, jax.random.PRNGKey(3), E, layers=layers,
+                         num_steps=8)
+
+    model.config["QUANT_INT8"] = True
+    table = model.prepare_int8(params, n_sigmas=4, batch=4)
+    assert any("Transpose" in k for k in table), sorted(table)
+
+    out_q = model.sample(params, jax.random.PRNGKey(3), E, layers=layers,
+                         num_steps=8)
+    a, b = np.asarray(out_f), np.asarray(out_q)
+    assert np.isfinite(b).all()
+    rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+    assert rel < 0.15, rel
+
+
 def test_scales_from_stats_flattens_module_tree():
     stats = {
         "CondUnet_0": {
