@@ -23,6 +23,15 @@ import h5py
 import numpy as np
 
 
+# dataset-2 readout threshold, raw MeV (= shipped config ECUT 1.51e-5 GeV).
+# Real Geant h5 files are recorded post-threshold, and the CaloChallenge
+# evaluation applies the same cut to generated showers; here the synthetic
+# "Geant" data carries the threshold and config ECUT makes ReverseNorm
+# apply it to generated showers (utils/preprocessing.py:298) — without it
+# the classifier AUC measures only "the model never emits exact zeros".
+ECUT_RAW_MEV = 0.0151
+
+
 def synth_showers(n, rng):
     """Energy-dependent synthetic ds2 showers in raw MeV-like units."""
     e_inc = 10 ** rng.uniform(3, 6, (n, 1)).astype(np.float32)  # 1 GeV..1 TeV
@@ -39,6 +48,7 @@ def synth_showers(n, rng):
         axis=(1, 2, 3), keepdims=True
     )
     shower[rng.uniform(size=shower.shape) < 0.3] = 0
+    shower[shower < ECUT_RAW_MEV] = 0
     return shower.reshape(n, -1).astype(np.float32), e_inc
 
 
@@ -72,6 +82,7 @@ def main():
         LAYER_SIZE_UNET=[32, 32, 64, 32], COND_SIZE_UNET=128,
         BLOCK_ATTN=True, MID_ATTN=True, PRECISION="bf16",
         CHECKPOINT_NAME="fidelity",
+        ECUT=ECUT_RAW_MEV * 1e-3,  # GeV; ReverseNorm zeroes gen below it
     )
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt")
     trainer = TrainDiffusion(flags, cfg)

@@ -29,6 +29,13 @@ REPORT = os.path.join(
     "fidelity_report.json",
 )
 
+# synthetic readout thresholds, raw units (see run_family docstring):
+# hgcal — applied at evaluation time (--energy-min analog, metric units
+# raw x 200); ds1 — 1e-4 MeV = the shipped config's ECUT 1e-7 GeV,
+# applied in-pipeline by ReverseNorm via config ECUT.
+HGCAL_ECUT_RAW = 1e-3
+DS1_ECUT_RAW_MEV = 1e-4
+
 
 def separations(ref, ref_e, gen, gen_e, nlayer_axis):
     """Common separation set over (N, ...) physical showers."""
@@ -76,10 +83,22 @@ def separations(ref, ref_e, gen, gen_e, nlayer_axis):
     return seps
 
 
-def run_family(tag, cfg, tmp, epochs, eval_file, energy_key):
+def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0):
+    """Train + generate one family.  ``emin`` > 0 applies the inference
+    CLI's --energy-min mask (apply_mask_conserveE, in the metric's
+    loader units) to the generated showers before the fidelity metrics —
+    the reference's evaluation-time readout threshold
+    (reference inference.py:293-295).  Needed for HGCal, whose
+    ReverseNormHGCal deliberately never applies ECUT (reference
+    HGCal_utils.py:277 is `if ecut > 0 and False:`); without it the
+    classifier AUC only measures "generated showers have no exact
+    zeros"."""
     import jax
 
     from calodiffusion_tpu.data.loader import load_data
+    from calodiffusion_tpu.evaluation.metrics_utils import (
+        apply_mask_conserveE,
+    )
     from calodiffusion_tpu.train.trainer import TrainDiffusion
     from calodiffusion_tpu.utils.config import default_flags
 
@@ -106,6 +125,11 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key):
             print(f"[{tag}] int8 requested but not allowed on this backend",
                   flush=True)
         model.config["QUANT_INT8"] = False
+
+    if emin > 0.0:
+        gen = apply_mask_conserveE(gen, gen < emin)
+        if gen_q is not None:
+            gen_q = apply_mask_conserveE(gen_q, gen_q < emin)
 
     # generate() returns loader-unit (raw x SHOWERSCALE) showers and
     # physical energies; bring the Geant reference to the same units
@@ -149,6 +173,10 @@ def hgcal_family(epochs):
             base.sum(axis=(1, 2), keepdims=True), 1e-8
         )
         showers[rng.uniform(size=showers.shape) < 0.3] = 0
+        # readout threshold, raw units (real Geant files are recorded
+        # post-threshold; the same cut is applied to generated showers
+        # via run_family(emin=...) since ReverseNormHGCal never cuts)
+        showers[showers < HGCAL_ECUT_RAW] = 0
         with h5py.File(os.path.join(tmp, fname), "w") as f:
             f.create_dataset("showers", data=showers.astype(np.float32))
             f.create_dataset("gen_info", data=gen_info)
@@ -172,7 +200,8 @@ def hgcal_family(epochs):
         CHECKPOINT_NAME="fidelity_hgcal",
     )
     ref, ref_e, gen, gen_e, gen_q = run_family(
-        "hgcal", cfg, tmp, epochs, "hgcal_2.h5", "gen_info"
+        "hgcal", cfg, tmp, epochs, "hgcal_2.h5", "gen_info",
+        emin=HGCAL_ECUT_RAW * 200.0,  # metric units = raw x SHOWERSCALE
     )
     seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=28)
     if gen_q is not None:
@@ -227,6 +256,7 @@ def ds1_family(epochs):
         showers = base * rng.gamma(2.0, 1.0, (n, total)).astype(np.float32)
         showers *= 0.4 * E / np.maximum(base.sum(1, keepdims=True), 1e-8)
         showers[rng.uniform(size=showers.shape) < 0.3] = 0
+        showers[showers < DS1_ECUT_RAW_MEV] = 0  # readout threshold
         with h5py.File(os.path.join(tmp, fname), "w") as f:
             f.create_dataset("showers", data=showers.astype(np.float32))
             f.create_dataset("incident_energies", data=E)
@@ -245,7 +275,8 @@ def ds1_family(epochs):
         LAYER_SIZE_UNET=[16, 16, 32, 32], COND_SIZE_UNET=64,
         BLOCK_ATTN=False, MID_ATTN=True,
         R_Z_INPUT=False, PHI_INPUT=True,
-        EMAX=4194.304, EMIN=0.256, MAXDEP=3.1, ECUT=0.0,
+        EMAX=4194.304, EMIN=0.256, MAXDEP=3.1,
+        ECUT=DS1_ECUT_RAW_MEV * 1e-3,  # GeV, in-pipeline via ReverseNorm
         SHOWERSCALE=0.001,
         BATCH=128, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
         CHECKPOINT_NAME="fidelity_ds1",
@@ -293,6 +324,11 @@ def layer_family(epochs):
         target = 2.0 * e_inc * (c["totalE_mean"] + c["totalE_std"] * z)
         cur = showers.sum(axis=1, keepdims=True)
         showers = showers * (target / np.maximum(cur, 1e-8))
+        # re-apply the ds2 readout threshold after the total rescale so
+        # the "Geant" reference matches what config ECUT cuts from gen
+        from scripts.tpu_fidelity_check import ECUT_RAW_MEV
+
+        showers[showers < ECUT_RAW_MEV] = 0
         with h5py.File(os.path.join(tmp, fname), "w") as f:
             f.create_dataset("showers", data=showers.astype(np.float32))
             f.create_dataset("incident_energies", data=e_inc)
