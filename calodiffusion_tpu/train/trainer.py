@@ -237,7 +237,12 @@ class TrainDiffusion(Train):
                 # instead of pure noise (reference train_diffusion.py:55-56)
                 k_n, k_l = jax.random.split(key)
                 noise = jax.random.normal(k_n, data.shape, data.dtype)
-                noise = model.gen_cold_image(E, cold_noise_scale, noise)
+                # E[:, :1]: only the incident energy picks the avg-shower
+                # bin (HGCal conditioning carries 3 columns; val path at
+                # validate() and the sampling cold prior slice the same way)
+                noise = model.gen_cold_image(
+                    E[:, :1], cold_noise_scale, noise
+                )
                 return model.compute_loss(
                     p, k_l, data, E, noise=noise, layers=layers
                 )

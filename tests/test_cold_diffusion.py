@@ -112,6 +112,69 @@ def test_cold_train_and_sample_cli(cold_workspace):
     assert np.isfinite(showers).all()
 
 
+def test_cold_train_hgcal_multicol_conditioning(tmp_path):
+    """Cold-diffusion training with HGCal's 3-column gen_info conditioning:
+    the trainer must bin the cold prior on the incident-energy column only
+    (E[:, :1]) — binning on the full matrix gave 3B lookup indices and a
+    trace-time broadcast error (regression)."""
+    from calodiffusion_tpu.train.trainer import TrainDiffusion
+    from calodiffusion_tpu.utils import hgcal_utils
+    from calodiffusion_tpu.utils.config import default_flags
+
+    geom_path = tmp_path / "geom.pkl"
+    geom = hgcal_utils.make_synthetic_geom(nlayers=4, cells_per_ring=6,
+                                           nrings=5)
+    hgcal_utils.save_geom(geom, str(geom_path))
+    C = geom.max_ncell
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    n = 32
+    with h5py.File(data / "mock_hgcal.h5", "w") as f:
+        f.create_dataset("gen_info",
+                         data=rng.uniform(0.3, 0.9, (n, 3)).astype("<f4"))
+        f.create_dataset("showers",
+                         data=rng.random((n, 4, C)).astype("<f4"))
+
+    # energy-binned average showers in the training-data shape (pre-embed:
+    # SHAPE_PAD), bin edges spanning the normalized incident energies
+    avg_loc = tmp_path / "avg_showers.h5"
+    with h5py.File(avg_loc, "w") as f:
+        f.create_dataset(
+            "avg_showers", data=rng.random((4, 1, 4, 8, 6)).astype("<f4"))
+        f.create_dataset(
+            "std_showers",
+            data=rng.uniform(0.1, 1.0, (4, 1, 4, 8, 6)).astype("<f4"))
+        f.create_dataset(
+            "E_bins", data=np.linspace(-2.0, 2.0, 5).astype("<f4"))
+
+    cfg = tiny_ds2_config(
+        FILES=["mock_hgcal.h5"], EVAL=["mock_hgcal.h5"], VAL_FILES=[],
+        HGCAL=True, DATASET_NUM=121, BIN_FILE=str(geom_path),
+        SHOWER_EMBED="NN-pre-embed", TRAINABLE_EMBED=False,
+        SHAPE_ORIG=[-1, 4, C], SHAPE_PAD=[-1, 1, 4, 8, 6],
+        SHAPE_FINAL=[-1, 1, 4, 8, 6], MAX_CELLS=C,
+        LAYER_SIZE_UNET=[8, 8, 8, 8], COND_SIZE_UNET=16,
+        EMAX=[100, 2.01, 1.572], EMIN=[50, 1.99, 1.57],
+        logE=False, MAXDEP=1.0, SHOWERSCALE=1.0,
+        BATCH=16, MAXEPOCH=1, NSTEPS=4,
+        COLD_DIFFU=True, COLD_NOISE=0.5, AVG_SHOWER_LOC=str(avg_loc),
+        CHECKPOINT_NAME="cold_hgcal",
+    )
+    flags = default_flags(
+        data_folder=str(data) + "/",
+        checkpoint_folder=str(tmp_path / "ckpt"),
+    )
+    trainer = TrainDiffusion(flags, cfg)
+    model, params = trainer.train()
+    losses = np.loadtxt(
+        os.path.join(trainer.checkpoint_folder, "final_training_losses.txt"),
+        ndmin=1,
+    )
+    assert np.isfinite(losses).all()
+
+
 def test_cold_prior_actually_used(cold_workspace):
     """The sampling start state must be the avg-shower prior, not pure
     noise: with COLD_NOISE=0 the start equals the binned average exactly."""

@@ -18,6 +18,15 @@ OUR_CONFIGS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs"
 )
 
+if not os.path.isdir(REF_CONFIGS) and os.environ.get(
+    "CALODIF_REQUIRE_REFERENCE"
+):
+    # CI sets CALODIF_REQUIRE_REFERENCE=1 after cloning the reference; a
+    # missing checkout must then FAIL the run, not skip it green
+    raise RuntimeError(
+        f"CALODIF_REQUIRE_REFERENCE is set but no reference checkout at "
+        f"{REFERENCE_ROOT} — config-parity tests would silently skip"
+    )
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_CONFIGS), reason="reference checkout not available"
 )
