@@ -381,10 +381,23 @@ def main():
         # per family (ds2 keys are unprefixed; hgcal_/ds1_/layer_ prefixed),
         # plus the per-family QUANT_INT8 gates (hgcal_int8_ok, ...)
         for key, val in fid.items():
+            if key.startswith("fewstep"):
+                continue  # summarized below
             if any(key.endswith(s) for s in
                    ("classifier_auc", "classifier_jsd", "fpd", "fpd_err",
                     "int8_ok", "int8_Etot")):
                 extras[key] = val
+        # few-step production sampling (scripts/tpu_fewstep_check.py):
+        # fastest (sampler, steps) that passed the same fidelity gate
+        for pfx in ("fewstep", "fewstep_int8"):
+            if fid.get(f"{pfx}_best"):
+                extras[f"{pfx}_best"] = fid[f"{pfx}_best"]
+                extras[f"{pfx}_best_showers_per_sec"] = (
+                    fid[f"{pfx}_best_showers_per_sec"]
+                )
+                extras[f"{pfx}_best_auc"] = fid.get(
+                    f"{pfx}_{fid[f'{pfx}_best']}_classifier_auc"
+                )
 
     try:
         from bench_baselines.reference_torch import measure_reference_cpu

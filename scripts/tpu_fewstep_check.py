@@ -1,0 +1,165 @@
+"""Few-step production sampling: fidelity + throughput below 400 steps.
+
+The headline bench metric is fixed at 400-step DDIM (BASELINE.md), but the
+sampler zoo (reference models/sample.py:29-1122) exists precisely so
+production users can trade sampler steps for throughput.  This quantifies
+that trade on the same synthetic-physics gate as
+scripts/tpu_fidelity_check.py: train the ds2 model once, then generate
+with each (sampler, steps) candidate from the SAME trained weights and
+record separations + classifier AUC/JSD + FPD, plus measured showers/sec
+at that step count (bench.py methodology: jitted batch-128 sample,
+best-of-3).  Results land in fidelity_report.json under fewstep_* keys
+and bench.py surfaces the fastest candidate that passes the gate.
+
+Run: python scripts/tpu_fewstep_check.py [epochs] [--int8]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import h5py
+import numpy as np
+
+REPORT = os.path.join(ROOT, "fidelity_report.json")
+
+# (sampler class name, steps): the standard few-step deterministic
+# solvers.  DPMPP2M is the production few-step choice (multistep, 1 U-Net
+# eval/step); DPM is DPM-Solver-fast (order-3 segments); DDim@50 is the
+# classic low-step baseline.
+CANDIDATES = [
+    ("DDim", 50),
+    ("DPM", 21),
+    ("DPMPP2M", 36),
+    ("DPMPP2M", 18),
+]
+
+# same gate as tpu_fidelity_check.finish
+THRESH = {"Etot": 0.1, "ERatio": 0.1, "layer_profile_L1": 0.15}
+
+
+def main():
+    import jax
+
+    from calodiffusion_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
+
+    import bench
+    import tpu_fidelity_check as fid
+
+    from calodiffusion_tpu.data.loader import load_data
+    from calodiffusion_tpu.train.trainer import TrainDiffusion
+    from calodiffusion_tpu.utils.config import default_flags
+    from tests.utils_test import tiny_ds2_config
+
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    epochs = int(pos[0]) if pos else 40
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    for fname, n in (("dataset_2_1.hdf5", 8192), ("dataset_2_2.hdf5", 2048)):
+        showers, e_inc = fid.synth_showers(n, rng)
+        with h5py.File(os.path.join(tmp, fname), "w") as f:
+            f.create_dataset("showers", data=showers)
+            f.create_dataset("incident_energies", data=e_inc)
+
+    cfg = tiny_ds2_config(
+        VAL_FILES=["dataset_2_2.hdf5"], EVAL=["dataset_2_2.hdf5"],
+        BATCH=128, MAXEPOCH=epochs, NSTEPS=400,
+        LAYER_SIZE_UNET=[32, 32, 64, 32], COND_SIZE_UNET=128,
+        BLOCK_ATTN=True, MID_ATTN=True, PRECISION="bf16",
+        CHECKPOINT_NAME="fewstep",
+        ECUT=fid.ECUT_RAW_MEV * 1e-3,
+    )
+    flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt")
+    trainer = TrainDiffusion(flags, cfg)
+    t0 = time.time()
+    model, params = trainer.train()
+    print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
+
+    with h5py.File(os.path.join(tmp, "dataset_2_2.hdf5"), "r") as f:
+        ref = f["showers"][:] * 0.001  # SHOWERSCALE
+        ref_e = f["incident_energies"][:] * 0.001
+
+    if "--int8" in sys.argv:
+        model.config["QUANT_INT8"] = True
+        if model.int8_sampling_enabled():
+            model.prepare_int8(params)
+        else:
+            print("int8 requested but not allowed on this backend", flush=True)
+            model.config["QUANT_INT8"] = False
+
+    results = {}
+    baseline = None  # 400-step DDim from the same weights, for reference
+    for sampler_name, steps in [("DDim", 400)] + CANDIDATES:
+        tag = f"{sampler_name}_{steps}"
+        eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
+                                   eval=True)
+        sampler = model.make_sampler(sampler_name)
+        t0 = time.time()
+        gen, en = model.generate(
+            params, jax.random.PRNGKey(0), eval_loader,
+            sample_steps=steps, sampler=sampler,
+        )
+        gen_t = time.time() - t0
+        seps = fid.compute_seps(ref, ref_e, gen, en, cfg, tmp)
+        ok = all(seps[k] < v for k, v in THRESH.items())
+        results[tag] = {"seps": seps, "ok": ok, "gen_s": gen_t}
+        if sampler_name == "DDim" and steps == 400:
+            baseline = seps
+        print(f"[{tag}] ok={ok} Etot={seps['Etot']:.4f} "
+              f"ERatio={seps['ERatio']:.4f} "
+              f"auc={seps.get('classifier_auc', float('nan')):.3f} "
+              f"fpd={seps.get('fpd', float('nan')):.4f} "
+              f"({gen_t:.0f}s generate)", flush=True)
+
+    # throughput at each candidate's step count (random weights - bench.py
+    # methodology; throughput is architecture/step-count determined)
+    speeds = {}
+    for sampler_name, steps in CANDIDATES:
+        c = dict(cfg)
+        c["SAMPLER"] = sampler_name
+        c.pop("CHECKPOINT_NAME", None)
+        if model.config.get("QUANT_INT8"):
+            c["QUANT_INT8"] = True
+        val, _ = bench.measure_sampling(c, batch=128, num_steps=steps)
+        speeds[f"{sampler_name}_{steps}"] = val
+        print(f"[{sampler_name}_{steps}] {val:.1f} showers/sec", flush=True)
+
+    report = {}
+    if os.path.exists(REPORT):
+        with open(REPORT) as f:
+            report = json.load(f)
+    prefix = "fewstep_int8" if model.config.get("QUANT_INT8") else "fewstep"
+    best_tag, best_speed = None, 0.0
+    for tag, r in results.items():
+        if tag == "DDim_400":
+            continue
+        for k in ("Etot", "ERatio", "layer_profile_L1", "classifier_auc",
+                  "fpd"):
+            if k in r["seps"]:
+                report[f"{prefix}_{tag}_{k}"] = r["seps"][k]
+        report[f"{prefix}_{tag}_ok"] = r["ok"]
+        report[f"{prefix}_{tag}_showers_per_sec"] = round(speeds[tag], 2)
+        if r["ok"] and speeds[tag] > best_speed:
+            best_tag, best_speed = tag, speeds[tag]
+    if baseline is not None:
+        report[f"{prefix}_baseline_auc"] = baseline.get("classifier_auc")
+        report[f"{prefix}_baseline_fpd"] = baseline.get("fpd")
+    report[f"{prefix}_best"] = best_tag
+    report[f"{prefix}_best_showers_per_sec"] = round(best_speed, 2)
+    with open(REPORT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {REPORT}: {prefix}_best={best_tag} "
+          f"@ {best_speed:.1f} showers/sec", flush=True)
+
+
+if __name__ == "__main__":
+    main()

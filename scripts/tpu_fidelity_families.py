@@ -29,12 +29,18 @@ REPORT = os.path.join(
     "fidelity_report.json",
 )
 
-# synthetic readout thresholds, raw units (see run_family docstring):
-# hgcal — applied at evaluation time (--energy-min analog, metric units
-# raw x 200); ds1 — 1e-4 MeV = the shipped config's ECUT 1e-7 GeV,
-# applied in-pipeline by ReverseNorm via config ECUT.
-HGCAL_ECUT_RAW = 1e-3
-DS1_ECUT_RAW_MEV = 1e-4
+# Synthetic zeros must be THRESHOLD-driven, not random dropout: real Geant
+# files record post-readout-threshold showers, so every zero is "energy
+# below threshold".  Random dropout of arbitrary-energy voxels is
+# unphysical and unreproducible by ANY post-threshold generative chain —
+# in particular by the rank-limited geometry decodes (GLaM pinv / NN
+# unconvert), which made the classifier AUC measure the synthetic
+# generator's dropout artifact (AUC 1.0) instead of physics.  Extends the
+# ds2 fix (d130a47) to the embedded families: the threshold is set at this
+# quantile of the pre-cut voxel distribution so the synthetic data carries
+# realistic, energy-correlated sparsity that the pipeline (decode + ECUT /
+# sparse decoding) can actually reproduce.
+SPARSITY_QUANTILE = 0.45
 
 
 def separations(ref, ref_e, gen, gen_e, nlayer_axis):
@@ -83,7 +89,8 @@ def separations(ref, ref_e, gen, gen_e, nlayer_axis):
     return seps
 
 
-def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0):
+def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
+               sparse=False):
     """Train + generate one family.  ``emin`` > 0 applies the inference
     CLI's --energy-min mask (apply_mask_conserveE, in the metric's
     loader units) to the generated showers before the fidelity metrics —
@@ -92,7 +99,10 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0):
     ReverseNormHGCal deliberately never applies ECUT (reference
     HGCal_utils.py:277 is `if ecut > 0 and False:`); without it the
     classifier AUC only measures "generated showers have no exact
-    zeros"."""
+    zeros".  ``sparse`` generates with GLaM sparse decoding — the
+    reference's production HGCal inference path (slurm/
+    inference_template.sh:49), which restores cell-level sparsity that
+    the dense pinv decode cannot."""
     import jax
 
     from calodiffusion_tpu.data.loader import load_data
@@ -111,7 +121,7 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0):
 
     eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg, eval=True)
     gen, gen_e = model.generate(params, jax.random.PRNGKey(0), eval_loader,
-                                sample_steps=400)
+                                sample_steps=400, sparse_decoding=sparse)
 
     gen_q = None
     if "--int8" in sys.argv:  # same weights, W8A8 int8 sampling
@@ -120,7 +130,8 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0):
             eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
                                        eval=True)
             gen_q, _ = model.generate(params, jax.random.PRNGKey(0),
-                                      eval_loader, sample_steps=400)
+                                      eval_loader, sample_steps=400,
+                                      sparse_decoding=sparse)
         else:
             print(f"[{tag}] int8 requested but not allowed on this backend",
                   flush=True)
@@ -158,6 +169,7 @@ def hgcal_family(epochs):
     valid = geom.ring_map >= 0
 
     rng = np.random.default_rng(0)
+    thr = None
     for fname, n in (("hgcal_1.h5", 6144), ("hgcal_2.h5", 1536)):
         E = rng.uniform(50.0, 100.0, n).astype(np.float32)
         theta = rng.uniform(1.99, 2.01, n).astype(np.float32)
@@ -172,11 +184,13 @@ def hgcal_family(epochs):
         showers *= 0.5 * E[:, None, None] / np.maximum(
             base.sum(axis=(1, 2), keepdims=True), 1e-8
         )
-        showers[rng.uniform(size=showers.shape) < 0.3] = 0
-        # readout threshold, raw units (real Geant files are recorded
-        # post-threshold; the same cut is applied to generated showers
-        # via run_family(emin=...) since ReverseNormHGCal never cuts)
-        showers[showers < HGCAL_ECUT_RAW] = 0
+        # readout threshold, raw units: the ONLY source of zeros (see
+        # SPARSITY_QUANTILE note); applied to generated showers at
+        # evaluation time via run_family(emin=...) since ReverseNormHGCal
+        # never cuts
+        if thr is None:
+            thr = float(np.quantile(showers[:, valid], SPARSITY_QUANTILE))
+        showers[showers < thr] = 0
         with h5py.File(os.path.join(tmp, fname), "w") as f:
             f.create_dataset("showers", data=showers.astype(np.float32))
             f.create_dataset("gen_info", data=gen_info)
@@ -186,9 +200,14 @@ def hgcal_family(epochs):
     cfg = tiny_ds2_config(
         FILES=["hgcal_1.h5"], VAL_FILES=["hgcal_2.h5"], EVAL=["hgcal_2.h5"],
         HGCAL=True, DATASET_NUM=121, BIN_FILE=geom_path,
-        SHOWER_EMBED="NN", TRAINABLE_EMBED=False,
+        # production path (reference slurm/inference_template.sh): data
+        # pre-embedded at load, U-Net in embed space, GLaM decode with
+        # SPARSE DECODING at ReverseNorm — the dense pinv decode cannot
+        # reproduce cell-level sparsity and the classifier rightly
+        # flagged it (AUC 1.0)
+        SHOWER_EMBED="NN-pre-embed", TRAINABLE_EMBED=False,
         SHAPE_ORIG=[-1, 28, C],
-        SHAPE_PAD=[-1, 1, 28, C],
+        SHAPE_PAD=[-1, 1, 28, 12, 21],
         SHAPE_FINAL=[-1, 1, 28, 12, 21],
         MAX_CELLS=C,
         LAYER_SIZE_UNET=[16, 16, 32, 32], COND_SIZE_UNET=64,
@@ -201,7 +220,8 @@ def hgcal_family(epochs):
     )
     ref, ref_e, gen, gen_e, gen_q = run_family(
         "hgcal", cfg, tmp, epochs, "hgcal_2.h5", "gen_info",
-        emin=HGCAL_ECUT_RAW * 200.0,  # metric units = raw x SHOWERSCALE
+        emin=thr * 200.0,  # metric units = raw x SHOWERSCALE
+        sparse=True,
     )
     seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=28)
     if gen_q is not None:
@@ -236,6 +256,7 @@ def ds1_family(epochs):
     r_out = GeomConverter(bins).dim_r_out
 
     rng = np.random.default_rng(1)
+    thr = None
     # layer boundaries in the flat layout
     bounds = np.asarray(bins.GetBinEdges())
     lay_sizes = np.diff(bounds)
@@ -255,8 +276,12 @@ def ds1_family(epochs):
         base = np.concatenate(voxels, axis=1)                      # (n,total)
         showers = base * rng.gamma(2.0, 1.0, (n, total)).astype(np.float32)
         showers *= 0.4 * E / np.maximum(base.sum(1, keepdims=True), 1e-8)
-        showers[rng.uniform(size=showers.shape) < 0.3] = 0
-        showers[showers < DS1_ECUT_RAW_MEV] = 0  # readout threshold
+        # readout threshold: the only source of zeros (SPARSITY_QUANTILE
+        # note above); ReverseNorm applies the same cut in-pipeline to
+        # generated showers via config ECUT
+        if thr is None:
+            thr = float(np.quantile(showers, SPARSITY_QUANTILE))
+        showers[showers < thr] = 0
         with h5py.File(os.path.join(tmp, fname), "w") as f:
             f.create_dataset("showers", data=showers.astype(np.float32))
             f.create_dataset("incident_energies", data=E)
@@ -276,7 +301,7 @@ def ds1_family(epochs):
         BLOCK_ATTN=False, MID_ATTN=True,
         R_Z_INPUT=False, PHI_INPUT=True,
         EMAX=4194.304, EMIN=0.256, MAXDEP=3.1,
-        ECUT=DS1_ECUT_RAW_MEV * 1e-3,  # GeV, in-pipeline via ReverseNorm
+        ECUT=thr * 1e-3,  # GeV, in-pipeline via ReverseNorm
         SHOWERSCALE=0.001,
         BATCH=128, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
         CHECKPOINT_NAME="fidelity_ds1",
