@@ -86,7 +86,34 @@ def separations(ref, ref_e, gen, gen_e, nlayer_axis):
         ))
     except Exception as err:  # report must survive a singular-cov corner
         print(f"classifier/FPD metrics failed: {err}", flush=True)
+
+    if seps.get("classifier_auc", 0.0) > 0.7:
+        feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis)
     return seps
+
+
+def feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis, top=8):
+    """Diagnostic: when the classifier separates well, print which
+    high-level features carry the difference (standardized mean shift and
+    variance ratio per feature of shower_feature_matrix)."""
+    from calodiffusion_tpu.evaluation.evaluate import shower_feature_matrix
+
+    f_ref = shower_feature_matrix(ref, ref_e, nlayer_axis)
+    f_gen = shower_feature_matrix(gen, gen_e, nlayer_axis)
+    names = ["log1p_Etot", "Etot/Einc", "sparsity", "max_voxel_frac",
+             "depth_mean", "depth_std"]
+    names += [f"layer_frac_{i}" for i in range(f_ref.shape[1] - len(names))]
+    mu_r, mu_g = f_ref.mean(0), f_gen.mean(0)
+    sd_r = np.maximum(f_ref.std(0), 1e-12)
+    sd_g = np.maximum(f_gen.std(0), 1e-12)
+    shift = np.abs(mu_g - mu_r) / sd_r
+    order = np.argsort(-shift)[:top]
+    print("feature deltas (|Δmean|/σ_ref, σ_gen/σ_ref):", flush=True)
+    for i in order:
+        print(f"  {names[i]:16s} shift={shift[i]:8.3f} "
+              f"sd_ratio={sd_g[i]/sd_r[i]:6.3f} "
+              f"(ref {mu_r[i]:.4g}±{sd_r[i]:.3g} "
+              f"gen {mu_g[i]:.4g}±{sd_g[i]:.3g})", flush=True)
 
 
 def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,

@@ -797,3 +797,76 @@ def test_generate_cross_framework_ddim():
     ha, _ = np.histogram(a, bins=bins, density=True)
     hb, _ = np.histogram(b, bins=bins, density=True)
     assert separation_power(ha, hb, bins) < 1e-6
+
+
+@pytest.mark.slow
+def test_generate_cross_framework_dpmpp2m():
+    """Same composition proof for the few-step production sampler
+    (scripts/tpu_fewstep_check.py recipe): reference DPMPP2M
+    (models/sample.py:415-449) on the actual torch model vs ours on the
+    transferred weights, same start, 8 steps -> same showers.  Multistep
+    history handling on the real network is exactly what the synthetic
+    trajectory test above cannot cover.
+
+    Patched-to-intent: the reference's class-form DPM samplers pass
+    sigma as shape (B,) (``s_in``, sample.py:426 — copied from
+    k-diffusion, whose denoiser wrapper broadcasts internally), but
+    CaloDiffusion.denoise applies the loss scalings with sigma's own
+    shape (calodiffusion.py:158-159, loss.py:29-41), so ``x * c_in``
+    crashes on any 5D shower model.  DDim shows the intended convention
+    — sigma broadcast to (B,1,1,1,1) via sampling.extract
+    (sample.py:75-88) — so we wrap the torch model to reshape sigma
+    before the call (PARITY.md quirks register)."""
+    from tests.test_torch_parity_matrix import _build_pair
+    from tests.utils_test import tiny_ds2_config
+
+    sample = _load_ref("calodiffusion.models.sample")
+    cfg = tiny_ds2_config()
+    ref, mine, params = _build_pair(cfg, seed=0)
+
+    batch, steps = 4, 8
+    rng = np.random.default_rng(7)
+    shape = [batch] + list(cfg["SHAPE_PAD"][1:])
+    start = rng.standard_normal(shape).astype(np.float32)
+    E = rng.uniform(0.1, 1.0, (batch, 1)).astype(np.float32)
+    layers = rng.standard_normal(
+        (batch, cfg["SHAPE_FINAL"][2] + 1)
+    ).astype(np.float32)
+
+    class SigmaShapedRef:
+        """Reference model with the (B,)->(B,1,..,1) sigma broadcast the
+        class-form DPM samplers need (see docstring)."""
+
+        def __init__(self, m):
+            self._m = m
+
+        def __getattr__(self, name):  # nsteps, loss_function for DPM.setup
+            return getattr(self._m, name)
+
+        def __call__(self, x, sigma=None, E=None, layers=None):
+            sigma = sigma.reshape(-1, *([1] * (x.dim() - 1)))
+            return self._m(x, sigma=sigma, E=E, layers=layers)
+
+    with torch.no_grad():
+        x_ref, _, _ = sample.DPMPP2M(dict(cfg))(
+            SigmaShapedRef(ref), torch.from_numpy(start.copy()),
+            torch.from_numpy(E), torch.from_numpy(layers), steps, 0,
+            debug=True,
+        )
+
+    from calodiffusion_tpu.samplers.dpm import DPMPP2M
+
+    s = DPMPP2M(dict(cfg))
+    x, _, _ = s(
+        mine, params, jnp.asarray(start), energy=jnp.asarray(E),
+        layers=jnp.asarray(layers), num_steps=steps, sample_offset=0,
+        key=jax.random.PRNGKey(0), debug=True,
+    )
+    x = np.asarray(x)
+    # multistep solver: per-denoise ~1e-4 relative error compounds through
+    # the 2M history terms; same budget as the DDim proof
+    scale = np.abs(x_ref.numpy()).max()
+    np.testing.assert_allclose(
+        x, x_ref.numpy(), atol=5e-3 * scale, rtol=5e-3,
+        err_msg="cross-framework DPMPP2M generation diverged",
+    )
