@@ -445,17 +445,27 @@ class DPMPPSDE(DPM):
             k: jnp.asarray(np.array([rr[k] for rr in rows]), jnp.float32)
             for k in rows[0]
         }
+        # injected-noise parity: the reference draws from its Brownian
+        # sampler twice per step, after each half-step (sample.py:369-412),
+        # regardless of eta
+        inj = self.take_noise(2 * len(rows), start.shape)
+        if inj is not None:
+            tables["noise1"], tables["noise2"] = inj[0::2], inj[1::2]
 
         def body(carry, row):
             x, k = carry
             k, k1, k2 = jax.random.split(k, 3)
             d0 = denoise(x, jnp.ones(bs, jnp.float32) * row["sigma"])
             x2 = row["c1_x"] * x + row["c1_d"] * d0
-            x2 = x2 + jax.random.normal(k1, x.shape, x.dtype) * self.s_noise * row["su1"]
+            n1 = (row["noise1"] if inj is not None
+                  else jax.random.normal(k1, x.shape, x.dtype))
+            x2 = x2 + n1 * self.s_noise * row["su1"]
             d1 = denoise(x2, jnp.ones(bs, jnp.float32) * row["sig_s"])
             dd = (1 - fac) * d0 + fac * d1
             x = row["c2_x"] * x + row["c2_d"] * dd
-            x = x + jax.random.normal(k2, x.shape, x.dtype) * self.s_noise * row["su2"]
+            n2 = (row["noise2"] if inj is not None
+                  else jax.random.normal(k2, x.shape, x.dtype))
+            x = x + n2 * self.s_noise * row["su2"]
             return (x, k), None
 
         (x, _), _ = jax.lax.scan(body, (x, key), tables)
@@ -561,6 +571,16 @@ class DPMPP2MSDE(DPM):
             k: jnp.asarray(np.array([rr[k] for rr in rows]), jnp.float32)
             for k in rows[0]
         }
+        # injected-noise parity: the reference draws only when eta is
+        # truthy and sigma_next != 0 (sample.py:505-512)
+        inj = None
+        if self.eta:
+            live = [i for i, rr in enumerate(rows) if not rr["denoise_only"]]
+            drawn = self.take_noise(len(live), start.shape)
+            if drawn is not None:
+                inj = np.zeros((len(rows), *start.shape), np.float32)
+                inj[live] = np.asarray(drawn)
+                tables["noise"] = jnp.asarray(inj)
 
         def body(carry, row):
             x, old_d, k = carry
@@ -568,7 +588,8 @@ class DPMPP2MSDE(DPM):
             d0 = denoise(x, jnp.ones(bs, jnp.float32) * row["sigma"])
             x_new = row["c_x"] * x + row["c_d"] * d0
             x_new = x_new + row["w_corr"] * (d0 - old_d)
-            noise = jax.random.normal(kn, x.shape, x.dtype)
+            noise = (row["noise"] if inj is not None
+                     else jax.random.normal(kn, x.shape, x.dtype))
             x_new = x_new + row["noise_c"] * noise
             x = jnp.where(row["denoise_only"] > 0, d0, x_new)
             return (x, d0, k), None
@@ -629,6 +650,15 @@ class DPMPP3MSDE(DPM):
             k: jnp.asarray(np.array([rr[k] for rr in rows]), jnp.float32)
             for k in rows[0]
         }
+        # injected-noise parity: the reference draws once per step with
+        # sigma_next != 0, regardless of eta (sample.py:565-571)
+        inj = None
+        live = [i for i, rr in enumerate(rows) if not rr["denoise_only"]]
+        drawn = self.take_noise(len(live), start.shape)
+        if drawn is not None:
+            inj = np.zeros((len(rows), *start.shape), np.float32)
+            inj[live] = np.asarray(drawn)
+            tables["noise"] = jnp.asarray(inj)
 
         def body(carry, row):
             x, d_1, d_2, k = carry
@@ -648,7 +678,8 @@ class DPMPP3MSDE(DPM):
                 jnp.where(row["mode"] >= 1.0, corr1, jnp.zeros_like(corr3)),
             )
             x_new = x_new + corr
-            noise = jax.random.normal(kn, x.shape, x.dtype)
+            noise = (row["noise"] if inj is not None
+                     else jax.random.normal(kn, x.shape, x.dtype))
             x_new = x_new + row["noise_c"] * noise
             x = jnp.where(row["denoise_only"] > 0, d0, x_new)
             return (x, d0, d_1, k), None

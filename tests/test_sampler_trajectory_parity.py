@@ -33,9 +33,12 @@ the only divergences:
     (utils/sampling.py:1281-1290).  Asserted broken here; ours implements
     the written intent (covered by test_samplers.py self-consistency).
   - SDE samplers (DPMPPSDE/2MSDE/3MSDE): Brownian-tree replaced by
-    per-interval normals — same marginal law, different sequences; excluded
-    from exact trajectory parity by design (marginals covered in
-    test_samplers.py).
+    per-interval normals — same marginal law, different sequences under
+    PRNG.  With the SAME noise values injected on both sides (ours via
+    ``set_noise_table``, the reference via a table-driven
+    ``BrownianTreeNoiseSampler`` stand-in) the solver coefficients are
+    exactly comparable, and the test_*sde tests below assert final-state
+    agreement — so the ONLY divergence left is the noise source itself.
 
 Reference lines cited per test.  Skipped when /root/reference or torch is
 unavailable (CI clones the reference and hard-requires it, see test.yml).
@@ -738,6 +741,97 @@ def test_dpmadaptive_reference_is_broken():
 # ---------------------------------------------------------------------------
 # end-to-end: real tiny ds2 model, transferred weights, same start noise
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# SDE samplers (reference models/sample.py:347-412, 452-516, 519-574):
+# with identical injected noise the paths are deterministic and must match.
+# ---------------------------------------------------------------------------
+
+
+class _TableBrownian:
+    """Stand-in for sampling.BrownianTreeNoiseSampler returning table rows
+    in call order (the reference draws once per __call__)."""
+
+    def __init__(self, table):
+        self.table = table
+        self.calls = 0
+
+    def __call__(self, s0, s1):
+        row = self.table[self.calls]
+        self.calls += 1
+        return torch.from_numpy(row.copy())
+
+
+def _run_ref_sde(monkeypatch, cls_name, config, table, num_steps=NSTEPS):
+    sample = _load_ref("calodiffusion.models.sample")
+    tb = _TableBrownian(table)
+    monkeypatch.setattr(
+        sample.sampling, "BrownianTreeNoiseSampler", lambda x, smin, smax: tb
+    )
+    ref_model = _FakeTorchModel(num_steps)
+    with torch.no_grad():
+        x_ref, _, _ = getattr(sample, cls_name)(dict(config))(
+            ref_model, torch.from_numpy(_start().copy()), None, None,
+            num_steps, 0, debug=True,
+        )
+    return np.asarray(x_ref), tb.calls
+
+
+@pytest.mark.parametrize("eta", [0.0, 0.4])
+def test_dpmppsde_trajectory_injected_noise(monkeypatch, eta):
+    """Reference draws twice per step — after each half-step
+    (sample.py:369-412) — independent of eta; with the same table both
+    frameworks must land on the same final state."""
+    cfg = {"SAMPLER_OPTIONS": {"ETA": eta, "R": 0.5}}
+    table = _noise_table(2 * (NSTEPS - 1), seed=23)
+    x_ref, calls = _run_ref_sde(monkeypatch, "DPMPPSDE", cfg, table)
+    assert calls == 2 * (NSTEPS - 1)
+
+    from calodiffusion_tpu.samplers.dpm import DPMPPSDE
+
+    x, _, _, s = _run_ours(DPMPPSDE, cfg, NSTEPS, _start(), noise_table=table)
+    assert s.noise_draws == calls
+    np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("solver", ["heun", "midpoint"])
+@pytest.mark.parametrize("eta", [0.0, 0.4])
+def test_dpmpp2msde_trajectory_injected_noise(monkeypatch, solver, eta):
+    """Reference draws once per step but ONLY when eta is truthy
+    (sample.py:505-512); eta=0 is fully deterministic.  Covers both
+    solver types."""
+    cfg = {"SAMPLER_OPTIONS": {"ETA": eta, "SOLVER": solver}}
+    table = _noise_table(NSTEPS - 1, seed=29)
+    x_ref, calls = _run_ref_sde(monkeypatch, "DPMPP2MSDE", cfg, table)
+    assert calls == (NSTEPS - 1 if eta else 0)
+
+    from calodiffusion_tpu.samplers.dpm import DPMPP2MSDE
+
+    x, _, _, s = _run_ours(
+        DPMPP2MSDE, cfg, NSTEPS, _start(), noise_table=table
+    )
+    assert s.noise_draws == calls
+    np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("eta", [0.0, 0.4])
+def test_dpmpp3msde_trajectory_injected_noise(monkeypatch, eta):
+    """Reference draws once per step with sigma_next != 0 regardless of
+    eta (sample.py:565-571; the amplitude is 0 at eta=0 but the draw still
+    advances the noise stream)."""
+    cfg = {"SAMPLER_OPTIONS": {"ETA": eta}}
+    table = _noise_table(NSTEPS - 1, seed=31)
+    x_ref, calls = _run_ref_sde(monkeypatch, "DPMPP3MSDE", cfg, table)
+    assert calls == NSTEPS - 1
+
+    from calodiffusion_tpu.samplers.dpm import DPMPP3MSDE
+
+    x, _, _, s = _run_ours(
+        DPMPP3MSDE, cfg, NSTEPS, _start(), noise_table=table
+    )
+    assert s.noise_draws == calls
+    np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.slow
