@@ -479,12 +479,21 @@ class CaloDiffusion:
             )
         )
 
+        import os as _os
+        import time as _time
+
+        _progress = bool(_os.environ.get("GEN_PROGRESS"))
+        _t0 = _time.time()
         generated, energies, layers_all, data_batches = [], [], [], []
         for i, (E, layers_, d_batch) in enumerate(data_loader):
             key, sub = jax.random.split(key)
             E = jnp.asarray(E)
             lay = jnp.asarray(layers_) if self.layer_cond else None
             out = jitted(params, sub, E, lay)
+            if _progress:
+                jax.block_until_ready(out[0] if debug else out)
+                print(f"[generate] batch {i} (n={E.shape[0]}) done at "
+                      f"+{_time.time()-_t0:.1f}s", flush=True)
             if debug:
                 x, xs, x0s = out
                 data_batches.append(np.asarray(d_batch))

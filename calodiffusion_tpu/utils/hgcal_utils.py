@@ -303,15 +303,64 @@ class HGCalConverter:
         flat = x.reshape(*x.shape[:-2], self.num_alpha_bins * self.num_r_bins)
         if sparse_decoding:
             rng = rng if rng is not None else np.random.default_rng()
-            # leading dim is the batch
-            b = flat.shape[0]
-            sparse = generate_sparse_mat(
-                self.dec_mat, rng, batches=b, per_batch=sparse_per_batch
-            )
-            out = np.einsum("blne,b...le->b...ln", sparse, flat)
+            out = self._sparse_dec(flat, rng, per_batch=sparse_per_batch)
         else:
             out = np.einsum("lne,...le->...ln", self.dec_mat, flat)
         return out
+
+    # -- sparse decoding ------------------------------------------------------
+    # Same stochastic law as the reference's generate_sparse_mat
+    # (HGCal_utils.py:355-407, kept above for parity inspection): per
+    # (layer, embed-bin) column, cell n is selected iff u + w > 1 (i.e.
+    # with probability w) where w = dec_mat[l, n, e], the column's highest
+    # u + w cell is always kept, and the column's energy is split evenly
+    # over the selected cells.  The dense form materializes
+    # (B, L, max_ncell, embed) random matrices — ~7 GB per 128-event chunk
+    # on real HGCal geometry, which made sparse decoding the single
+    # slowest stage of HGCal inference.  This index form draws only on the
+    # ~1-2 positive weights each cell actually has (the decode matrix is
+    # ring-local), ~250x less work, identical distribution.
+
+    def _sparse_nnz(self):
+        if getattr(self, "_sparse_cache", None) is None:
+            eps = 1e-6
+            L, N, E = self.dec_mat.shape
+            l_idx, n_idx, e_idx = np.nonzero(self.dec_mat > eps)
+            col = l_idx * E + e_idx
+            order = np.argsort(col, kind="stable")
+            l_idx, n_idx, col = l_idx[order], n_idx[order], col[order]
+            e_idx = e_idx[order]
+            w = self.dec_mat[l_idx, n_idx, e_idx].astype(np.float32)
+            _, seg_starts = np.unique(col, return_index=True)
+            seg_lens = np.diff(np.append(seg_starts, col.size))
+            self._sparse_cache = (l_idx, n_idx, e_idx, w, seg_starts,
+                                  seg_lens)
+        return self._sparse_cache
+
+    def _sparse_dec(self, flat: np.ndarray, rng,
+                    per_batch: bool = False) -> np.ndarray:
+        l_idx, n_idx, e_idx, w, seg_starts, seg_lens = self._sparse_nnz()
+        L, N, _E = self.dec_mat.shape
+        B = flat.shape[0]
+        mid = flat.shape[1:-2]
+        M = int(np.prod(mid, dtype=np.int64)) if mid else 1
+        flat2 = flat.reshape(B, M, flat.shape[-2], flat.shape[-1])
+
+        nsel = 1 if per_batch else B
+        score = rng.random((nsel, w.size), dtype=np.float32) + w[None, :]
+        segmax = np.maximum.reduceat(score, seg_starts, axis=1)
+        sel = (score > 1.0) | (score >= np.repeat(segmax, seg_lens, axis=1))
+        counts = np.add.reduceat(sel.astype(np.float32), seg_starts, axis=1)
+        val = sel / np.repeat(counts, seg_lens, axis=1)  # (nsel, nnz)
+
+        gathered = flat2[:, :, l_idx, e_idx]              # (B, M, nnz)
+        contrib = (gathered * val[:, None, :]).reshape(-1)
+        cell = (l_idx * N + n_idx).astype(np.int64)       # (nnz,)
+        idx = (
+            np.arange(B * M, dtype=np.int64)[:, None] * (L * N) + cell[None, :]
+        ).reshape(-1)
+        out = np.bincount(idx, weights=contrib, minlength=B * M * L * N)
+        return out.astype(np.float32).reshape(B, *mid, L, N)
 
     def enc_batches(self, x: np.ndarray, batch_size: int = 256) -> np.ndarray:
         outs = [

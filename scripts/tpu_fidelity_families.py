@@ -146,19 +146,26 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
     print(f"[{tag}] trained {epochs} epochs in {time.time()-t0:.0f}s",
           flush=True)
 
+    t0 = time.time()
     eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg, eval=True)
+    print(f"[{tag}] eval data loaded in {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
     gen, gen_e = model.generate(params, jax.random.PRNGKey(0), eval_loader,
                                 sample_steps=400, sparse_decoding=sparse)
+    print(f"[{tag}] generated {len(gen)} in {time.time()-t0:.0f}s", flush=True)
 
     gen_q = None
     if "--int8" in sys.argv:  # same weights, W8A8 int8 sampling
         model.config["QUANT_INT8"] = True
         if model.int8_sampling_enabled():
+            t0 = time.time()
             eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
                                        eval=True)
             gen_q, _ = model.generate(params, jax.random.PRNGKey(0),
                                       eval_loader, sample_steps=400,
                                       sparse_decoding=sparse)
+            print(f"[{tag}] int8 generated in {time.time()-t0:.0f}s",
+                  flush=True)
         else:
             print(f"[{tag}] int8 requested but not allowed on this backend",
                   flush=True)
