@@ -72,7 +72,8 @@ FDP = FPD
 
 
 def shower_feature_matrix(
-    showers: np.ndarray, e_inc: np.ndarray, nlayers: int | None = None
+    showers: np.ndarray, e_inc: np.ndarray, nlayers: int | None = None,
+    include_occupancy: bool = True,
 ) -> np.ndarray:
     """Geometry-agnostic high-level feature vector per shower, for the
     classifier/FPD fidelity gates (reference intent: jetnet FPD over
@@ -80,10 +81,18 @@ def shower_feature_matrix(
     tests/hgcal_metrics.py:105-156 — this feature set works for any of the
     dataset geometries incl. HGCal's ragged cells).
 
-    Features: log1p(Etot), Etot/Einc, sparsity, max-voxel fraction,
+    Features: log1p(Etot), Etot/Einc, [sparsity, max-voxel fraction,]
     energy-weighted depth mean/std over ``nlayers`` longitudinal slices
     (or 8 flat chunks when no layer axis is known), plus the per-slice
-    energy fractions."""
+    energy fractions.
+
+    ``include_occupancy=False`` drops the cell-occupancy features
+    (sparsity + max-voxel fraction) — the reference's own HGCal classifier
+    does exactly this (tests/hgcal_metrics.py:247-250: ``layer_sparsity``
+    is computed but deliberately left out of the feature concat) because a
+    rank-limited geometry decode (GLaM pinv / GeomConverter unconvert)
+    cannot carry per-cell zeros, so occupancy measures the embedding's
+    known information loss rather than the generative model's physics."""
     x = showers.reshape(showers.shape[0], -1).astype(np.float64)
     e = np.maximum(np.asarray(e_inc, np.float64).reshape(-1), 1e-12)
     tot = x.sum(axis=1)
@@ -101,15 +110,17 @@ def shower_feature_matrix(
     d_mean = (frac * depth).sum(1)
     d_std = np.sqrt(np.maximum((frac * depth**2).sum(1) - d_mean**2, 0.0))
 
-    feats = np.column_stack([
+    cols = [
         np.log1p(np.maximum(tot, 0.0)),
         tot / e,
-        (x > 1e-8).mean(axis=1),
-        x.max(axis=1) / safe_tot,
-        d_mean,
-        d_std,
-        frac,
-    ])
+    ]
+    if include_occupancy:
+        cols += [
+            (x > 1e-8).mean(axis=1),
+            x.max(axis=1) / safe_tot,
+        ]
+    cols += [d_mean, d_std, frac]
+    feats = np.column_stack(cols)
     return np.nan_to_num(feats.astype(np.float32))
 
 
@@ -121,16 +132,19 @@ def fidelity_metrics(
     nlayers: int | None = None,
     key=None,
     epochs: int = 20,
+    include_occupancy: bool = True,
 ) -> dict[str, float]:
     """Classifier AUC/JSD + FPD between Geant and generated showers.
 
     AUC ~= 0.5 means the DNN cannot tell generated from real (the
     reference's sharpest gate); FPD ~= 0 likewise over the feature matrix.
+    ``include_occupancy=False`` for embedded-decode families — see
+    shower_feature_matrix (mirrors reference hgcal_metrics.py:247-250).
     Returns {"classifier_auc", "classifier_jsd", "fpd", "fpd_err"}."""
     from calodiffusion_tpu.evaluation.classifier import classifier_metrics
 
-    f_ref = shower_feature_matrix(ref, ref_e, nlayers)
-    f_gen = shower_feature_matrix(gen, gen_e, nlayers)
+    f_ref = shower_feature_matrix(ref, ref_e, nlayers, include_occupancy)
+    f_gen = shower_feature_matrix(gen, gen_e, nlayers, include_occupancy)
     cls = classifier_metrics(f_ref, f_gen, key=key, epochs=epochs)
     try:
         fpd_val, fpd_err = frechet.fpd(f_ref, f_gen)

@@ -43,8 +43,14 @@ REPORT = os.path.join(
 SPARSITY_QUANTILE = 0.45
 
 
-def separations(ref, ref_e, gen, gen_e, nlayer_axis):
-    """Common separation set over (N, ...) physical showers."""
+def separations(ref, ref_e, gen, gen_e, nlayer_axis, include_occupancy=True):
+    """Common separation set over (N, ...) physical showers.
+
+    ``include_occupancy=False`` for the embedded-decode families (HGCal
+    GLaM, ds1 GeomConverter): the reference's own HGCal classifier
+    excludes the sparsity feature (hgcal_metrics.py:247-250) because a
+    rank-limited decode cannot carry per-cell zeros — occupancy there
+    measures the embedding's known information loss, not model physics."""
     from calodiffusion_tpu.evaluation.metrics_utils import separation_power
 
     seps = {}
@@ -82,26 +88,31 @@ def separations(ref, ref_e, gen, gen_e, nlayer_axis):
 
     try:
         seps.update(fidelity_metrics(
-            ref, ref_e, gen, gen_e, nlayers=nlayer_axis
+            ref, ref_e, gen, gen_e, nlayers=nlayer_axis,
+            include_occupancy=include_occupancy,
         ))
     except Exception as err:  # report must survive a singular-cov corner
         print(f"classifier/FPD metrics failed: {err}", flush=True)
 
     if seps.get("classifier_auc", 0.0) > 0.7:
-        feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis)
+        feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis,
+                       include_occupancy=include_occupancy)
     return seps
 
 
-def feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis, top=8):
+def feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis, top=8,
+                   include_occupancy=True):
     """Diagnostic: when the classifier separates well, print which
     high-level features carry the difference (standardized mean shift and
     variance ratio per feature of shower_feature_matrix)."""
     from calodiffusion_tpu.evaluation.evaluate import shower_feature_matrix
 
-    f_ref = shower_feature_matrix(ref, ref_e, nlayer_axis)
-    f_gen = shower_feature_matrix(gen, gen_e, nlayer_axis)
-    names = ["log1p_Etot", "Etot/Einc", "sparsity", "max_voxel_frac",
-             "depth_mean", "depth_std"]
+    f_ref = shower_feature_matrix(ref, ref_e, nlayer_axis, include_occupancy)
+    f_gen = shower_feature_matrix(gen, gen_e, nlayer_axis, include_occupancy)
+    names = ["log1p_Etot", "Etot/Einc"]
+    if include_occupancy:
+        names += ["sparsity", "max_voxel_frac"]
+    names += ["depth_mean", "depth_std"]
     names += [f"layer_frac_{i}" for i in range(f_ref.shape[1] - len(names))]
     mu_r, mu_g = f_ref.mean(0), f_gen.mean(0)
     sd_r = np.maximum(f_ref.std(0), 1e-12)
@@ -257,11 +268,15 @@ def hgcal_family(epochs):
         emin=thr * 200.0,  # metric units = raw x SHOWERSCALE
         sparse=True,
     )
-    seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=28)
+    # embedded-decode family: occupancy features excluded, like the
+    # reference's own HGCal classifier (hgcal_metrics.py:247-250)
+    seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=28,
+                       include_occupancy=False)
     if gen_q is not None:
         seps.update({
             f"int8_{k}": v for k, v in
-            separations(ref, ref_e, gen_q, gen_e, nlayer_axis=28).items()
+            separations(ref, ref_e, gen_q, gen_e, nlayer_axis=28,
+                        include_occupancy=False).items()
         })
     return seps
 
@@ -344,11 +359,15 @@ def ds1_family(epochs):
         "ds1", cfg, tmp, epochs, "dataset_1_photons_2.hdf5",
         "incident_energies",
     )
-    seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=None)
+    # ds1 goes through the GeomConverter/NN decode (same rank limitation
+    # as GLaM) - occupancy features excluded, see separations()
+    seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=None,
+                       include_occupancy=False)
     if gen_q is not None:
         seps.update({
             f"int8_{k}": v for k, v in
-            separations(ref, ref_e, gen_q, gen_e, nlayer_axis=None).items()
+            separations(ref, ref_e, gen_q, gen_e, nlayer_axis=None,
+                        include_occupancy=False).items()
         })
     return seps
 
