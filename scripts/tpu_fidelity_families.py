@@ -426,9 +426,15 @@ def layer_family(epochs):
     print(f"[layer] base model trained in {time.time()-t0:.0f}s", flush=True)
 
     t0 = time.time()
+    # Stage 1 (the 46-dim layer-energy ResNet) needs far more epochs than
+    # the shower U-Net: its val loss plateaus immediately (dominated by
+    # large-sigma noise prediction) while sampled-vector quality keeps
+    # improving — measured vector-level classifier AUC 0.983 @ 25 epochs
+    # vs 0.706 @ 100 on this data.  It is also ~100x cheaper per epoch,
+    # so train it 8x longer.
     layer_trainer = TrainLayerModel(
         default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt_layer"),
-        dict(cfg),
+        dict(cfg, MAXEPOCH=epochs * 8),
     )
     layer_trainer.train()
     print(f"[layer] layer model trained in {time.time()-t0:.0f}s", flush=True)
