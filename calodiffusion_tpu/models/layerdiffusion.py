@@ -69,6 +69,50 @@ class LayerDiffusion(CaloDiffusion):
     def set_layer_state(self, is_layer: bool = False):
         self.layer_loss = is_layer
 
+    # -- per-dim whitening ---------------------------------------------------
+    # The consts standardization of the layer-energy vector is a single
+    # GLOBAL (mean, std) over all layers (reference utils.py preprocessing),
+    # so in the diffusion space the per-dim scales range from ~0.05 (peak
+    # layers, whose logit fractions barely vary) to ~1.0 (totalE).  A
+    # noise schedule calibrated for unit-scale data cannot resolve the
+    # 0.05-scale dims — measured on the cascade fidelity family this is
+    # what drives the deep-tail layer-fraction undershoot and pushes the
+    # sampled vectors off the conditioning manifold of the shower U-Net.
+    # TPU-native redesign: diffuse a per-dim whitened vector instead.  The
+    # stats live in params["layer_model"]["whiten"] (computed from the
+    # training data by TrainLayerModel, EMA/checkpoint round-trip for
+    # free); absent stats (e.g. reference-imported .pth weights,
+    # tools/torch_import.py) mean identity, preserving exact parity with
+    # the reference cascade.
+    @staticmethod
+    def _whiten_stats(params):
+        w = None
+        if isinstance(params, dict):
+            lm = params.get("layer_model")
+            if isinstance(lm, dict):
+                w = lm.get("whiten")
+        if w is None:
+            return None
+        # frozen statistics, not trainable parameters: without the
+        # stop_gradient the loss-through-whitening path would let Adam
+        # drift the stats to cheat the objective
+        return (jax.lax.stop_gradient(jnp.asarray(w["mean"])),
+                jax.lax.stop_gradient(jnp.asarray(w["std"])))
+
+    def whiten_layers(self, params, layers):
+        stats = self._whiten_stats(params)
+        if stats is None:
+            return layers
+        mean, std = stats
+        return (layers - mean) / std
+
+    def unwhiten_layers(self, params, u):
+        stats = self._whiten_stats(params)
+        if stats is None:
+            return u
+        mean, std = stats
+        return u * std + mean
+
     # -- denoisers ----------------------------------------------------------
     def denoise_layer(self, params, x, E=None, sigma=None):
         """Denoise in layer-energy space (reference layer_forward :109-112 +
@@ -101,12 +145,14 @@ class LayerDiffusion(CaloDiffusion):
     def compute_loss(self, params, key, data, energy, noise=None, layers=None,
                      time=None, rnd_normal=None):
         if self.layer_loss:
-            # train the layer model: the "data" is the layer-energy vector
+            # train the layer model: the "data" is the layer-energy vector,
+            # diffused in per-dim whitened space (see _whiten_stats)
             def denoise_fn(x, E=None, sigma=None, layers=None):
                 return self.denoise_layer(params, x, E=E, sigma=sigma)
 
+            target = self.whiten_layers(params, layers.astype(jnp.float32))
             return self.loss_function(
-                denoise_fn, layers.astype(jnp.float32), energy, key,
+                denoise_fn, target, energy, key,
                 noise=None, time=time, layers=layers, rnd_normal=rnd_normal,
             )
         def denoise_fn(x, E=None, sigma=None, layers=None):
@@ -130,7 +176,10 @@ class LayerDiffusion(CaloDiffusion):
             view, params, start, energy, None, self.layer_steps,
             sample_offset or 0, k_samp, debug,
         )
-        return out[0] if isinstance(out, tuple) else out
+        u = out[0] if isinstance(out, tuple) else out
+        # sampler runs in whitened space; hand back consts-standardized
+        # layer energies (identity when no stats — reference parity)
+        return self.unwhiten_layers(params, u)
 
     def sample(self, params, key, energy, layers=None, num_steps=400,
                sample_offset=0, debug=False, sampler=None,

@@ -68,7 +68,32 @@ class TrainLayerModel(TrainDiffusion):
         self.model.set_layer_state(not self.inference)
         self.rng, k = jax.random.split(self.rng)
         self.params = self.model.init(k)
+        if not self.inference and self.loader_train is not None:
+            self.params = dict(self.params)
+            self.params["layer_model"] = dict(self.params["layer_model"])
+            self.params["layer_model"]["whiten"] = self._layer_whiten_stats()
         self.ema_decay = float(self.config.get("EMA_DECAY", 0.0))
         if self.ema_decay > 0:
             self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
         return self.model
+
+    def _layer_whiten_stats(self):
+        """Per-dim (mean, std) of the training layer-energy vectors, for
+        whitened-space diffusion (LayerDiffusion._whiten_stats).  One numpy
+        pass over the loader; std floored so near-constant dims don't blow
+        up the unwhitened noise."""
+        import numpy as np
+
+        s0, s1, s2 = 0, None, None
+        for _, layers, _ in self.loader_train:
+            lay = np.asarray(layers, dtype=np.float64)
+            s0 += lay.shape[0]
+            s1 = lay.sum(0) if s1 is None else s1 + lay.sum(0)
+            s2 = (lay ** 2).sum(0) if s2 is None else s2 + (lay ** 2).sum(0)
+        mean = s1 / s0
+        var = np.maximum(s2 / s0 - mean ** 2, 0.0)
+        std = np.maximum(np.sqrt(var), 1e-3)
+        return {
+            "mean": jnp.asarray(mean, dtype=jnp.float32),
+            "std": jnp.asarray(std, dtype=jnp.float32),
+        }
