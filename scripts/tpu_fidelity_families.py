@@ -7,7 +7,7 @@ model end-to-end through the real loader/CLI surfaces, generates with
 (merged with the ds2 entries; bench.py reports from that file).
 
 Run: python scripts/tpu_fidelity_families.py [epochs] [family ...] [--int8]
-     (default: 25 epochs, both families; --int8 additionally generates
+     (default: per-family measured epoch counts; --int8 additionally generates
       with W8A8 int8 sampling from the same trained weights and records
       int8-prefixed separations — the per-family accuracy gate for
       QUANT_INT8, ops/quant.py)
@@ -436,10 +436,11 @@ def layer_family(epochs):
     # large-sigma noise prediction) while sampled-vector quality keeps
     # improving — measured vector-level classifier AUC 0.983 @ 25 epochs
     # vs 0.706 @ 100 on this data.  It is also ~100x cheaper per epoch,
-    # so train it 8x longer.
+    # so train it to at least 200 epochs (the whitened stage-1 that the
+    # oracle-layers diagnostic cleared was trained 200).
     layer_trainer = TrainLayerModel(
         default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt_layer"),
-        dict(cfg, MAXEPOCH=epochs * 8),
+        dict(cfg, MAXEPOCH=max(epochs * 2, 200)),
     )
     layer_trainer.train()
     print(f"[layer] layer model trained in {time.time()-t0:.0f}s", flush=True)
@@ -491,8 +492,15 @@ def main():
     enable_compile_cache()
 
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    epochs = int(pos[0]) if pos else 25
+    epochs = int(pos[0]) if pos else None
     families = pos[1:] or ["hgcal", "ds1"]
+
+    # measured per-family needs (TPU wall-clock is minutes either way):
+    # hgcal converges by 25; ds1 @50 gives AUC 0.81 / FPD 0.66 but @100
+    # reaches AUC 0.63 / FPD 0.10 (the NN-decode family just needs more
+    # steps); layer's stage-2 is the cascade bottleneck (oracle-layers
+    # diagnostic: AUC 0.99 even with true layer energies at 25 epochs).
+    default_epochs = {"hgcal": 25, "ds1": 100, "layer": 100}
 
     report = {}
     if os.path.exists(REPORT):
@@ -502,7 +510,7 @@ def main():
     runners = {"hgcal": hgcal_family, "ds1": ds1_family,
                "layer": layer_family}
     for fam in families:
-        seps = runners[fam](epochs)
+        seps = runners[fam](epochs or default_epochs[fam])
         for k, v in seps.items():
             print(f"[{fam}] separation[{k}] = {v:.4f}", flush=True)
             report[f"{fam}_{k}"] = v
