@@ -84,7 +84,14 @@ def shower_feature_matrix(
     Features: log1p(Etot), Etot/Einc, [sparsity, max-voxel fraction,]
     energy-weighted depth mean/std over ``nlayers`` longitudinal slices
     (or 8 flat chunks when no layer axis is known), plus the per-slice
-    energy fractions.
+    ``log10(E_layer + 1e-8)`` energies — the same per-layer transform the
+    reference feeds jetnet's FPD (reference train/evaluate.py:45-46).
+    The log matters: raw per-layer fractions standardize by the
+    reference-sample sigma, and a layer that is essentially empty in the
+    Geant sample (fraction ~1e-7, carried by a handful of
+    threshold-level hits) then dominates the Frechet distance with
+    readout noise instead of physics; log10 bounds an empty layer at -8
+    and keeps its variance O(0.1), exactly as in the reference.
 
     ``include_occupancy=False`` drops the cell-occupancy features
     (sparsity + max-voxel fraction) — the reference's own HGCal classifier
@@ -119,7 +126,7 @@ def shower_feature_matrix(
             (x > 1e-8).mean(axis=1),
             x.max(axis=1) / safe_tot,
         ]
-    cols += [d_mean, d_std, frac]
+    cols += [d_mean, d_std, np.log10(np.maximum(lay, 0.0) + 1e-8)]
     feats = np.column_stack(cols)
     return np.nan_to_num(feats.astype(np.float32))
 

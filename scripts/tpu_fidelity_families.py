@@ -113,7 +113,7 @@ def feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis, top=8,
     if include_occupancy:
         names += ["sparsity", "max_voxel_frac"]
     names += ["depth_mean", "depth_std"]
-    names += [f"layer_frac_{i}" for i in range(f_ref.shape[1] - len(names))]
+    names += [f"log10_Elayer_{i}" for i in range(f_ref.shape[1] - len(names))]
     mu_r, mu_g = f_ref.mean(0), f_gen.mean(0)
     sd_r = np.maximum(f_ref.std(0), 1e-12)
     sd_g = np.maximum(f_gen.std(0), 1e-12)

@@ -141,3 +141,33 @@ def test_fidelity_metrics_gate():
                               nlayers=nlayers, epochs=5)
     assert m_diff["classifier_auc"] > 0.8
     assert m_diff["fpd"] > m_same["fpd"] + 0.5
+
+
+def test_fpd_not_dominated_by_empty_layer():
+    """An essentially-empty calorimeter layer (a handful of
+    threshold-level hits, ~1e-7 of the shower) must not dominate FPD.
+    The per-layer feature is log10(E_layer + 1e-8), the transform the
+    reference feeds jetnet's FPD (reference train/evaluate.py:45-46);
+    with raw layer *fractions* standardized by the reference-sample
+    sigma, a 2x difference in the rate of such noise hits alone blew the
+    distance past 20 (observed on the cascade family, round 3)."""
+    from calodiffusion_tpu.evaluation.evaluate import fidelity_metrics
+
+    n, nlayers, cells = 2000, 8, 16
+
+    def make(noise_rate, seed):
+        r = np.random.default_rng(seed)
+        e = r.uniform(1.0, 10.0, n)
+        s = r.gamma(2.0, 1.0, (n, nlayers, cells))
+        s *= 0.5 * e[:, None, None] / s.sum(axis=(1, 2), keepdims=True)
+        # last layer: empty except rare threshold-level hits
+        s[:, -1, :] = 0.0
+        hits = r.uniform(size=(n, cells)) < noise_rate
+        s[:, -1, :] += hits * r.uniform(1e-7, 3e-7, (n, cells))
+        return s.reshape(n, -1).astype(np.float32), e.astype(np.float32)
+
+    real, real_e = make(noise_rate=0.002, seed=1)
+    gen, gen_e = make(noise_rate=0.004, seed=2)  # 2x the tail noise
+    m = fidelity_metrics(real, real_e, gen, gen_e, nlayers=nlayers,
+                         epochs=5)
+    assert m["fpd"] < 1.0, m
