@@ -352,7 +352,8 @@ def main():
                 except Exception as e:
                     log(f"{name} bench failed: {e}")
             # opt-in W8A8 int8 sampling (ops/quant.py; TPU-only)
-            for name, b in (("ds2", batch), ("ds3", 128), ("hgcal", 128)):
+            for name, b in (("ds2", batch), ("ds1", 512), ("ds3", 128),
+                            ("hgcal", 128)):
                 try:
                     cfg = dict(_dataset_config(name, tmpdir),
                                QUANT_INT8=True)

@@ -247,6 +247,38 @@ class CaloDiffusion:
         t = jnp.zeros((1,), dtype=jnp.float32)
         return self.net.init(key, x, E, t, layers)
 
+    def embed_roundtrip(self, params, x):
+        """Diagnostic: encode -> decode ``x`` (training-representation
+        showers) through the model's geometry embed; identity when the
+        model has none.  The rank-limited decode (GLaM pinv / GeomConverter
+        NN) loses information even on REAL showers, so classifier/FPD
+        between Geant and roundtripped-Geant is the fidelity ceiling any
+        generative model behind this embed can reach — used by
+        scripts/tpu_fidelity_families.py to attribute AUC between the
+        embedding and the diffusion model."""
+        net = self.net
+        x = jnp.asarray(x, jnp.float32)
+        if net.fully_connected or (
+            net.nn_embed_gc is None and net.hgcal_converter is None
+        ):
+            return x
+        sub = {"params": params.get("params", {}).get("NN_embed", {})}
+        orig_shape = x.shape
+        if net.nn_embed_gc is not None:
+            conv = NNConverter(net.nn_embed_gc, dtype=jnp.float32)
+            y = conv.apply(sub, x.reshape(x.shape[0], -1), method="enc")
+            out = conv.apply(sub, y, method="dec")
+        else:
+            from calodiffusion_tpu.models.hgcal_converter import (
+                HGCalConverterModule,
+            )
+
+            conv = HGCalConverterModule(**net.hgcal_converter)
+            y = conv.apply(sub, x.reshape(x.shape[0], *x.shape[-2:]),
+                           method="enc")
+            out = conv.apply(sub, y, method="dec")
+        return out.reshape(orig_shape)
+
     # -- diffusion math -----------------------------------------------------
     def do_time_embed(self, sigma):
         """sigma -> scalar time feature (reference calodiffusion.py:144-152)."""
@@ -460,10 +492,16 @@ class CaloDiffusion:
         self, params, key, data_loader, sample_steps: int,
         debug: bool = False, sample_offset: int = 0,
         sparse_decoding: bool = False, sparse_per_batch: bool = False,
-        sampler=None,
+        sampler=None, roundtrip: bool = False,
     ):
         """Sample a whole dataloader and invert preprocessing
-        (reference diffusion.py:118-197)."""
+        (reference diffusion.py:118-197).
+
+        ``roundtrip=True`` skips sampling entirely and instead passes the
+        loader's OWN showers through the geometry embed's encode->decode
+        (see embed_roundtrip) before the usual ReverseNorm — producing
+        "generated" showers from a hypothetical perfect diffusion model,
+        i.e. the embedding's fidelity ceiling."""
         c = self.config
         orig_shape = "orig" in c.get("SHOWER_EMBED", "")
         if sampler is None:
@@ -472,6 +510,8 @@ class CaloDiffusion:
         if self.int8_sampling_enabled() and self._int8_scales is None:
             self.prepare_int8(params)
 
+        if roundtrip:
+            jitted_rt = jax.jit(lambda p, d: self.embed_roundtrip(p, d))
         jitted = jax.jit(
             lambda p, k, E, lay: self.sample(
                 p, k, E, layers=lay, num_steps=sample_steps,
@@ -489,12 +529,17 @@ class CaloDiffusion:
             key, sub = jax.random.split(key)
             E = jnp.asarray(E)
             lay = jnp.asarray(layers_) if self.layer_cond else None
-            out = jitted(params, sub, E, lay)
+            if roundtrip:
+                out = jitted_rt(params, jnp.asarray(d_batch))
+            else:
+                out = jitted(params, sub, E, lay)
             if _progress:
-                jax.block_until_ready(out[0] if debug else out)
+                jax.block_until_ready(
+                    out[0] if debug and not roundtrip else out
+                )
                 print(f"[generate] batch {i} (n={E.shape[0]}) done at "
                       f"+{_time.time()-_t0:.1f}s", flush=True)
-            if debug:
+            if debug and not roundtrip:
                 x, xs, x0s = out
                 data_batches.append(np.asarray(d_batch))
                 if i == 0 and xs is not None:

@@ -187,13 +187,22 @@ class LayerDiffusion(CaloDiffusion):
         """Two-stage sampling; returns a dict like the reference
         (layerdiffusion.py:130-163).  With config ``QUANT_INT8`` the
         shower U-Net stage runs its convs in W8A8 int8 (ops/quant.py); the
-        layer ResNet stage has no convolutions and is unaffected."""
+        layer ResNet stage has no convolutions and is unaffected.
+
+        ``layers`` (consts-standardized, the loader's training
+        representation) skips stage 1 and conditions the shower U-Net on
+        the given vector — the oracle-layers diagnostic that attributes a
+        cascade fidelity gap between the two stages."""
         if sampler is None:
             sampler = self.make_sampler()
         k_lay, k_start, k_samp = jax.random.split(key, 3)
-        gen_layers = self.sample_layers(
-            params, k_lay, energy, debug=debug, sample_offset=sample_offset
-        )
+        if layers is not None:
+            gen_layers = jnp.asarray(layers)
+        else:
+            gen_layers = self.sample_layers(
+                params, k_lay, energy, debug=debug,
+                sample_offset=sample_offset,
+            )
         shape = (energy.shape[0], *self._data_shape)
         start = self.noise_generation(k_start, shape)
         with self._int8_ctx(params):
@@ -215,9 +224,14 @@ class LayerDiffusion(CaloDiffusion):
 
     def generate(self, params, key, data_loader, sample_steps, debug=False,
                  sample_offset=0, sparse_decoding=False,
-                 sparse_per_batch=False, sampler=None):
+                 sparse_per_batch=False, sampler=None, oracle_layers=False):
         """Generate with model-sampled layer energies; per-batch ReverseNorm
-        (reference layerdiffusion.py:165-256)."""
+        (reference layerdiffusion.py:165-256).
+
+        ``oracle_layers=True`` conditions stage 2 on the loader's TRUE
+        layer-energy vectors instead of stage-1 samples — a diagnostic
+        that isolates the shower U-Net's conditional fidelity from the
+        layer model's sampling quality."""
         c = self.config
         orig_shape = "orig" in c.get("SHOWER_EMBED", "")
         dataset_num = c.get("DATASET_NUM", 2)
@@ -231,11 +245,13 @@ class LayerDiffusion(CaloDiffusion):
             NN_embed = hgcal_utils.make_pre_embed_converter(c)
 
         generated, energies = [], []
-        for E, _, d_batch in data_loader:
+        for E, true_layers, d_batch in data_loader:
             key, sub = jax.random.split(key)
             E = jnp.asarray(E)
             out = self.sample(
-                params, sub, E, layers=None, num_steps=sample_steps,
+                params, sub, E,
+                layers=true_layers if oracle_layers else None,
+                num_steps=sample_steps,
                 debug=debug, sample_offset=sample_offset, sampler=sampler,
                 return_layers=True,
             )

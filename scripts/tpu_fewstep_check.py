@@ -34,14 +34,24 @@ REPORT = os.path.join(ROOT, "fidelity_report.json")
 # eval/step); DPM is DPM-Solver-fast (order-3 segments); DDim@50 is the
 # classic low-step baseline.
 CANDIDATES = [
+    ("DDim", 100),
     ("DDim", 50),
     ("DPM", 21),
+    ("DPMPP2M", 50),
     ("DPMPP2M", 36),
     ("DPMPP2M", 18),
 ]
 
-# same gate as tpu_fidelity_check.finish
+# histogram gate as in tpu_fidelity_check.finish ...
 THRESH = {"Etot": 0.1, "ERatio": 0.1, "layer_profile_L1": 0.15}
+# ... plus the sharper instruments when available: a few-step candidate
+# only counts as production-ready if the Geant-vs-generated DNN stays
+# near chance (CaloChallenge convention: AUC < ~0.7 is "good") and the
+# FPD over high-level features stays O(baseline).  Without these, a
+# candidate that visibly degrades the classifier (e.g. DPMPP2M@18 at
+# AUC 0.91) would be surfaced as "ok" on histogram separations alone.
+AUC_MAX = 0.70
+FPD_MAX = 1.0
 
 
 def main():
@@ -111,6 +121,10 @@ def main():
         gen_t = time.time() - t0
         seps = fid.compute_seps(ref, ref_e, gen, en, cfg, tmp)
         ok = all(seps[k] < v for k, v in THRESH.items())
+        if "classifier_auc" in seps:
+            ok = ok and seps["classifier_auc"] <= AUC_MAX
+        if "fpd" in seps:
+            ok = ok and seps["fpd"] <= FPD_MAX
         results[tag] = {"seps": seps, "ok": ok, "gen_s": gen_t}
         if sampler_name == "DDim" and steps == 400:
             baseline = seps

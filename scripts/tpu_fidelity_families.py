@@ -10,7 +10,12 @@ Run: python scripts/tpu_fidelity_families.py [epochs] [family ...] [--int8]
      (default: per-family measured epoch counts; --int8 additionally generates
       with W8A8 int8 sampling from the same trained weights and records
       int8-prefixed separations — the per-family accuracy gate for
-      QUANT_INT8, ops/quant.py)
+      QUANT_INT8, ops/quant.py; --oracle additionally runs the cascade
+      family's stage 2 on TRUE layer energies and records oracle_* keys,
+      attributing any fidelity gap between the two stages; --roundtrip
+      additionally passes the eval showers through the geometry embed's
+      encode->decode and records ceiling_* keys — the embedding's own
+      fidelity ceiling, independent of the diffusion model)
 """
 
 import json
@@ -184,10 +189,25 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
                   flush=True)
         model.config["QUANT_INT8"] = False
 
+    gen_rt = None
+    if "--roundtrip" in sys.argv:
+        # embedding-ceiling diagnostic: the eval showers themselves through
+        # enc->dec + ReverseNorm (a perfect diffusion model behind the same
+        # rank-limited decode) — ceiling_* metrics vs the Geant reference
+        t0 = time.time()
+        eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
+                                   eval=True)
+        gen_rt, _ = model.generate(params, jax.random.PRNGKey(0),
+                                   eval_loader, sample_steps=400,
+                                   sparse_decoding=sparse, roundtrip=True)
+        print(f"[{tag}] embed roundtrip in {time.time()-t0:.0f}s", flush=True)
+
     if emin > 0.0:
         gen = apply_mask_conserveE(gen, gen < emin)
         if gen_q is not None:
             gen_q = apply_mask_conserveE(gen_q, gen_q < emin)
+        if gen_rt is not None:
+            gen_rt = apply_mask_conserveE(gen_rt, gen_rt < emin)
 
     # generate() returns loader-unit (raw x SHOWERSCALE) showers and
     # physical energies; bring the Geant reference to the same units
@@ -200,7 +220,7 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
         else:
             ref_e = f["incident_energies"][:].astype(np.float32) * scale
             gen_e_1d = gen_e.reshape(-1)
-    return ref, ref_e, gen, gen_e_1d, gen_q
+    return ref, ref_e, gen, gen_e_1d, gen_q, gen_rt
 
 
 def hgcal_family(epochs):
@@ -265,7 +285,7 @@ def hgcal_family(epochs):
         BATCH=64, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
         CHECKPOINT_NAME="fidelity_hgcal",
     )
-    ref, ref_e, gen, gen_e, gen_q = run_family(
+    ref, ref_e, gen, gen_e, gen_q, gen_rt = run_family(
         "hgcal", cfg, tmp, epochs, "hgcal_2.h5", "gen_info",
         emin=thr * 200.0,  # metric units = raw x SHOWERSCALE
         sparse=True,
@@ -278,6 +298,12 @@ def hgcal_family(epochs):
         seps.update({
             f"int8_{k}": v for k, v in
             separations(ref, ref_e, gen_q, gen_e, nlayer_axis=28,
+                        include_occupancy=False).items()
+        })
+    if gen_rt is not None:  # embedding fidelity ceiling (--roundtrip)
+        seps.update({
+            f"ceiling_{k}": v for k, v in
+            separations(ref, ref_e, gen_rt, ref_e, nlayer_axis=28,
                         include_occupancy=False).items()
         })
     return seps
@@ -360,7 +386,7 @@ def ds1_family(epochs):
         # is still dominated by early-training weights.  Leave EMA off.
         CHECKPOINT_NAME="fidelity_ds1",
     )
-    ref, ref_e, gen, gen_e, gen_q = run_family(
+    ref, ref_e, gen, gen_e, gen_q, gen_rt = run_family(
         "ds1", cfg, tmp, epochs, "dataset_1_photons_2.hdf5",
         "incident_energies",
     )
@@ -372,6 +398,12 @@ def ds1_family(epochs):
         seps.update({
             f"int8_{k}": v for k, v in
             separations(ref, ref_e, gen_q, gen_e, nlayer_axis=None,
+                        include_occupancy=False).items()
+        })
+    if gen_rt is not None:  # embedding fidelity ceiling (--roundtrip)
+        seps.update({
+            f"ceiling_{k}": v for k, v in
+            separations(ref, ref_e, gen_rt, ref_e, nlayer_axis=None,
                         include_occupancy=False).items()
         })
     return seps
@@ -463,6 +495,16 @@ def layer_family(epochs):
     gen, gen_e = model.generate(params, jax.random.PRNGKey(0), eval_loader,
                                 sample_steps=400)
 
+    gen_o = None
+    if "--oracle" in sys.argv:
+        # oracle-layers diagnostic: stage 2 conditioned on the TRUE
+        # layer-energy vectors — the gap between oracle_* and the cascade
+        # metrics is exactly stage 1's sampled-vector quality
+        eval_loader, _ = load_data(default_flags(data_folder=tmp), inf_cfg,
+                                   eval=True)
+        gen_o, _ = model.generate(params, jax.random.PRNGKey(0), eval_loader,
+                                  sample_steps=400, oracle_layers=True)
+
     gen_q = None
     if "--int8" in sys.argv:  # int8 through the two-stage cascade
         model.config["QUANT_INT8"] = True
@@ -477,6 +519,12 @@ def layer_family(epochs):
         ref = f["showers"][:].astype(np.float32) * 0.001
         ref_e = f["incident_energies"][:].astype(np.float32) * 0.001
     seps = separations(ref, ref_e, gen, gen_e.reshape(-1), nlayer_axis=45)
+    if gen_o is not None:
+        seps.update({
+            f"oracle_{k}": v for k, v in
+            separations(ref, ref_e, gen_o, gen_e.reshape(-1),
+                        nlayer_axis=45).items()
+        })
     if gen_q is not None:
         seps.update({
             f"int8_{k}": v for k, v in
@@ -492,8 +540,10 @@ def main():
     enable_compile_cache()
 
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    epochs = int(pos[0]) if pos else None
-    families = pos[1:] or ["hgcal", "ds1"]
+    epochs = None
+    if pos and pos[0].isdigit():  # epochs may be omitted (family names only)
+        epochs = int(pos.pop(0))
+    families = pos or ["hgcal", "ds1"]
 
     # measured per-family needs (TPU wall-clock is minutes either way):
     # hgcal converges by 25; ds1 @50 gives AUC 0.81 / FPD 0.66 but @100

@@ -122,3 +122,51 @@ def test_ds1_model_with_nn_embed(binning_file):
     out = model.sample(params, jax.random.PRNGKey(2), E,
                        layers=layers, num_steps=4)
     assert out.shape == (batch, total_bins)
+
+
+def test_embed_roundtrip_matches_converter(binning_file):
+    """embed_roundtrip = dec(enc(x)) through the model's NN embed with the
+    model's own params (the embedding-ceiling diagnostic of
+    scripts/tpu_fidelity_families.py --roundtrip); identity for models
+    without a geometry embed."""
+    from calodiffusion_tpu.models.converters import NNConverter
+
+    bins = XMLHandler("photon", binning_file)
+    total_bins = bins.GetTotalNumberOfBins()
+    g = GeomConverter(bins)
+    cfg = tiny_ds2_config(
+        DATASET_NUM=1, BIN_FILE=binning_file, SHOWER_EMBED="orig-NN",
+        SHAPE_ORIG=[-1, total_bins],
+        SHAPE_PAD=[-1, 1, total_bins],
+        SHAPE_FINAL=[-1, 1, 4, 10, g.dim_r_out],
+        LAYER_SIZE_UNET=[8, 8, 8, 8], COND_SIZE_UNET=16,
+        R_Z_INPUT=False, PHI_INPUT=True,
+        EMAX=4194.304, EMIN=0.256, MAXDEP=3.1,
+    )
+    model = CaloDiffusion(cfg, n_steps=4)
+    params = model.init(jax.random.PRNGKey(0))
+
+    x = jnp.asarray(np.random.default_rng(3).exponential(
+        0.1, (3, total_bins)).astype(np.float32))
+    rt = model.embed_roundtrip(params, x)
+    assert rt.shape == x.shape
+
+    conv = NNConverter(g, dtype=jnp.float32)
+    sub = {"params": params["params"]["NN_embed"]}
+    y = conv.apply(sub, x, method="enc")
+    expected = conv.apply(sub, y, method="dec")
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(expected),
+                               rtol=1e-6, atol=1e-6)
+    # the pinv-initialized converter is a near-exact roundtrip on showers
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(x),
+                               atol=5e-3, rtol=5e-2)
+
+    # no-embed model: identity
+    cfg2 = tiny_ds2_config(LAYER_SIZE_UNET=[8, 8, 8, 8], COND_SIZE_UNET=16)
+    model2 = CaloDiffusion(cfg2, n_steps=4)
+    params2 = model2.init(jax.random.PRNGKey(0))
+    x2 = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (2, 1, 45, 16, 9)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(model2.embed_roundtrip(params2, x2)), np.asarray(x2)
+    )

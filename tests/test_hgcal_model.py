@@ -70,3 +70,16 @@ def test_hgcal_inmodel_embed(geom_file, trainable):
             for g in jax.tree_util.tree_leaves(grads["params"]["NN_embed"])
         )
         assert np.isfinite(g_embed) and g_embed > 0
+
+    # embedding-ceiling diagnostic: enc->dec through the model's GLaM
+    # params (works for both frozen and trainable converters)
+    rt = model.embed_roundtrip(params, x)
+    assert rt.shape == x.shape
+    from calodiffusion_tpu.models.hgcal_converter import HGCalConverterModule
+
+    conv = HGCalConverterModule(**model.net.hgcal_converter)
+    sub = {"params": params["params"].get("NN_embed", {})}
+    y = conv.apply(sub, x, method="enc")
+    expected = conv.apply(sub, y, method="dec")
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(expected),
+                               rtol=1e-6, atol=1e-6)

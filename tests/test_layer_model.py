@@ -75,3 +75,22 @@ def test_two_stage_sampling(layer_model):
     assert np.asarray(out["layers"]).shape == (2, 46)
     assert np.all(np.isfinite(out["x"]))
     assert np.all(np.isfinite(np.asarray(out["layers"])))
+
+
+def test_sample_with_given_layers_skips_stage1(layer_model, monkeypatch):
+    """Providing ``layers`` must bypass the layer-energy sampler entirely
+    (the oracle-layers diagnostic) and condition stage 2 on the given
+    vector verbatim."""
+    cfg, model, params = layer_model
+    _, E, layers = fake_batch(cfg, batch=2)
+
+    def boom(*a, **k):
+        raise AssertionError("stage-1 sampler must not run")
+
+    monkeypatch.setattr(model, "sample_layers", boom)
+    out = model.sample(params, jax.random.PRNGKey(2), jnp.asarray(E),
+                       layers=jnp.asarray(layers), num_steps=4,
+                       return_layers=True)
+    assert out["x"].shape == (2, 1, 45, 16, 9)
+    np.testing.assert_allclose(np.asarray(out["layers"]), layers, rtol=1e-6)
+    assert np.all(np.isfinite(out["x"]))
