@@ -66,6 +66,21 @@ def diffusion(ctx):
 
 
 @train.command()
+@click.option("--teacher-loc", default=None,
+              help="Trained diffusion checkpoint to distill from "
+                   "(overrides config TEACHER_LOC)")
+@click.pass_context
+def distill(ctx, teacher_loc):
+    """Consistency-distill a trained diffusion model into a 1-5 step
+    student for the Consistency sampler (train/train_distill.py)."""
+    from calodiffusion_tpu.train.train_distill import TrainDistillation
+
+    if teacher_loc is not None:
+        ctx.obj.config["TEACHER_LOC"] = teacher_loc
+    TrainDistillation(ctx.obj, ctx.obj.config).train()
+
+
+@train.command()
 @click.option("--layer-model-loc", default=None,
               help="Specify existing layer model to load")
 @click.pass_context

@@ -11,7 +11,13 @@ at that step count (bench.py methodology: jitted batch-128 sample,
 best-of-3).  Results land in fidelity_report.json under fewstep_* keys
 and bench.py surfaces the fastest candidate that passes the gate.
 
-Run: python scripts/tpu_fewstep_check.py [epochs] [--int8]
+Run: python scripts/tpu_fewstep_check.py [epochs] [--int8] [--distill[=N]]
+
+--distill additionally consistency-distills the trained model
+(train/train_distill.py, N distill epochs, default 150) and adds
+Consistency@{1,2,4}-step candidates generated from the student's EMA
+target network — the same fidelity gate decides whether 1-4 U-Net-eval
+generation is production-ready.
 """
 
 import json
@@ -106,16 +112,50 @@ def main():
             print("int8 requested but not allowed on this backend", flush=True)
             model.config["QUANT_INT8"] = False
 
+    # consistency distillation: teacher -> few-step student
+    distill_arg = next((a for a in sys.argv if a.startswith("--distill")),
+                       None)
+    student_params = None
+    candidates = list(CANDIDATES)
+    if distill_arg is not None:
+        from calodiffusion_tpu.train.train_distill import TrainDistillation
+
+        d_epochs = int(distill_arg.split("=", 1)[1]) if "=" in distill_arg \
+            else 150
+        dcfg = dict(cfg, MAXEPOCH=d_epochs, CHECKPOINT_NAME="fewstep_cd")
+        t0 = time.time()
+        distiller = TrainDistillation(
+            default_flags(data_folder=tmp,
+                          checkpoint_folder=tmp + "/ckpt_cd"),
+            dcfg, teacher_params=params,
+        )
+        _, _ = distiller.train()
+        # sample from the EMA target network (what load_for_inference
+        # prefers for a distilled checkpoint)
+        student_params = distiller.ema_params
+        print(f"distilled {d_epochs} epochs in {time.time()-t0:.0f}s",
+              flush=True)
+        candidates += [("Consistency", 1), ("Consistency", 2),
+                       ("Consistency", 4)]
+
     results = {}
     baseline = None  # 400-step DDim from the same weights, for reference
-    for sampler_name, steps in [("DDim", 400)] + CANDIDATES:
+    for sampler_name, steps in [("DDim", 400)] + candidates:
         tag = f"{sampler_name}_{steps}"
         eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
                                    eval=True)
         sampler = model.make_sampler(sampler_name)
+        gen_params = (
+            student_params if sampler_name == "Consistency" else params
+        )
+        if (sampler_name == "Consistency"
+                and model.config.get("QUANT_INT8")
+                and model.int8_sampling_enabled()):
+            # re-calibrate activation scales for the student weights
+            model.prepare_int8(student_params)
         t0 = time.time()
         gen, en = model.generate(
-            params, jax.random.PRNGKey(0), eval_loader,
+            gen_params, jax.random.PRNGKey(0), eval_loader,
             sample_steps=steps, sampler=sampler,
         )
         gen_t = time.time() - t0
@@ -137,7 +177,7 @@ def main():
     # throughput at each candidate's step count (random weights - bench.py
     # methodology; throughput is architecture/step-count determined)
     speeds = {}
-    for sampler_name, steps in CANDIDATES:
+    for sampler_name, steps in candidates:
         c = dict(cfg)
         c["SAMPLER"] = sampler_name
         c.pop("CHECKPOINT_NAME", None)

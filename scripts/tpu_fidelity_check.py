@@ -214,13 +214,23 @@ def finish(seps, int8_seps, epochs):
     for k, v in int8_seps.items():
         print(f"separation[{k}] = {v:.4f}", flush=True)
 
-    ok = seps["Etot"] < 0.1 and seps["ERatio"] < 0.1 and \
-        seps["layer_profile_L1"] < 0.15
+    def gate(d, pfx=""):
+        # histogram separations plus the sharper instruments when recorded
+        # (thresholds shared with scripts/tpu_fewstep_check.py and the
+        # family harness: CaloChallenge convention AUC < ~0.7 "good",
+        # FPD O(baseline))
+        ok = d[f"{pfx}Etot"] < 0.1 and d[f"{pfx}ERatio"] < 0.1 and \
+            d[f"{pfx}layer_profile_L1"] < 0.15
+        if f"{pfx}classifier_auc" in d:
+            ok = ok and d[f"{pfx}classifier_auc"] <= 0.70
+        if f"{pfx}fpd" in d:
+            ok = ok and d[f"{pfx}fpd"] <= 1.0
+        return bool(ok)
+
+    ok = gate(seps)
     print("FIDELITY", "OK" if ok else "NEEDS MORE TRAINING")
     if int8_seps:
-        ok_q = int8_seps["int8_Etot"] < 0.1 and \
-            int8_seps["int8_ERatio"] < 0.1 and \
-            int8_seps["int8_layer_profile_L1"] < 0.15
+        ok_q = gate(int8_seps, "int8_")
         print("INT8 FIDELITY", "OK" if ok_q else "DEGRADED")
 
     # persist for bench.py's "at separation power X" field (merge: the

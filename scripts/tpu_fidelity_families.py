@@ -564,13 +564,24 @@ def main():
         for k, v in seps.items():
             print(f"[{fam}] separation[{k}] = {v:.4f}", flush=True)
             report[f"{fam}_{k}"] = v
-        report[f"{fam}_ok"] = bool(
-            seps["Etot"] < 0.1 and seps["ERatio"] < 0.1
-        )
+
+        def gate(pfx=""):
+            # histogram separations plus the sharper instruments when
+            # recorded (same thresholds as scripts/tpu_fewstep_check.py:
+            # CaloChallenge convention AUC < ~0.7 "good"; FPD O(baseline)).
+            # Without them the cascade int8 path once gated "ok" at
+            # FPD 42.7 — a gate the sharp instruments scream through is
+            # not a gate.
+            ok = seps[f"{pfx}Etot"] < 0.1 and seps[f"{pfx}ERatio"] < 0.1
+            if f"{pfx}classifier_auc" in seps:
+                ok = ok and seps[f"{pfx}classifier_auc"] <= 0.70
+            if f"{pfx}fpd" in seps:
+                ok = ok and seps[f"{pfx}fpd"] <= 1.0
+            return bool(ok)
+
+        report[f"{fam}_ok"] = gate()
         if "int8_Etot" in seps:
-            report[f"{fam}_int8_ok"] = bool(
-                seps["int8_Etot"] < 0.1 and seps["int8_ERatio"] < 0.1
-            )
+            report[f"{fam}_int8_ok"] = gate("int8_")
         print(f"[{fam}] FIDELITY",
               "OK" if report[f"{fam}_ok"] else "NEEDS MORE TRAINING",
               flush=True)
