@@ -248,6 +248,21 @@ class LayerDiffusion(CaloDiffusion):
         for E, true_layers, d_batch in data_loader:
             key, sub = jax.random.split(key)
             E = jnp.asarray(E)
+            if self.int8_sampling_enabled() and self._int8_scales is None:
+                # calibrate the stage-2 U-Net's int8 scales on the REAL
+                # conditioning distribution: the loader's true layer
+                # vectors AND a stage-1 sample (what inference actually
+                # conditions on) — synthetic N(0,1) calibration clipped
+                # tail conditioning and exploded the cascade FPD
+                key, k_cal = jax.random.split(key)
+                m = min(32, E.shape[0])
+                samp = self.sample_layers(params, k_cal, E[:m])
+                true = jnp.asarray(true_layers, jnp.float32)[:m]
+                self.prepare_int8(
+                    params,
+                    E=jnp.concatenate([E[:m], E[:m]], axis=0),
+                    layers=jnp.concatenate([true, samp], axis=0),
+                )
             out = self.sample(
                 params, sub, E,
                 layers=true_layers if oracle_layers else None,

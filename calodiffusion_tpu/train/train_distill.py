@@ -68,6 +68,8 @@ class TrainDistillation(TrainDiffusion):
     student (see module docstring)."""
 
     def __init__(self, flags, config, teacher_params=None, **kw):
+        if "DISTILL_LR" in config:  # CD usually wants a lower LR than the
+            config = dict(config, LR=config["DISTILL_LR"])  # teacher's
         super().__init__(flags, config, **kw)
         self._teacher_params_arg = teacher_params
 

@@ -214,6 +214,41 @@ def test_training_loss_untouched_by_quant_config(force_int8):
     np.testing.assert_array_equal(np.asarray(loss_ref), np.asarray(loss_q))
 
 
+def test_prepare_int8_real_conditioning(force_int8):
+    """Calibration on the REAL conditioning distribution: passing concrete
+    E/layers must drive the recorded activation ranges — synthetic N(0,1)
+    conditioning understates them when the true conditioning is off-scale
+    (the cascade int8 FPD blowup), so off-scale real conditioning must
+    produce strictly larger scales for at least the conditioning-side
+    convs, and generate() must calibrate lazily from the loader batch."""
+    model, params, E, layers = _tiny_model()
+    model.config["QUANT_INT8"] = True
+
+    t_syn = dict(model.prepare_int8(params, n_sigmas=2, batch=4))
+    # conditioning 500x outside the synthetic calibration range inflates
+    # the post-cond-injection convs (Block_1 inputs) ~10x (measured);
+    # synthetic calibration would clip these activations to ~1/10 range
+    big_layers = layers * 500.0
+    t_real = dict(model.prepare_int8(params, n_sigmas=2, batch=4,
+                                     E=E, layers=big_layers))
+    assert t_real.keys() == t_syn.keys()
+    assert any(t_real[k] > t_syn[k] * 2 for k in t_syn), (t_syn, t_real)
+
+    # rows fewer than the calibration batch are tiled, not crashed
+    model.prepare_int8(params, n_sigmas=2, batch=4, E=E[:1],
+                       layers=big_layers[:1])
+
+    # generate() calibrates lazily from the loader's first real batch
+    # (sane layer vectors here: 500x logit fractions overflow ReverseNorm)
+    model._int8_scales = None
+    loader = [(np.asarray(E), np.asarray(layers),
+               np.zeros((4, 6480), np.float32))]
+    gen, en = model.generate(params, jax.random.PRNGKey(0), loader,
+                             sample_steps=2)
+    assert model._int8_scales is not None
+    assert np.isfinite(gen).all()
+
+
 def test_int8_cascade_sampling(force_int8):
     """LayerDiffusion two-stage sampling under QUANT_INT8: stage-2 U-Net
     convs quantized, layer ResNet stage untouched, output close to float."""
