@@ -40,7 +40,11 @@ or pass ``teacher_params=`` programmatically), CONSIS_NSTEPS (sigma-grid
 size, shared with the sampler; default 100), DISTILL_TARGET_DECAY (EMA
 decay of the target net, default 0.95), DISTILL_LOSS ("pseudo_huber"
 [default] or "l2"), DISTILL_HUBER_C (pseudo-Huber constant; default
-0.00054*sqrt(D) per arXiv:2310.14189).
+0.00054*sqrt(D) per arXiv:2310.14189), DISTILL_LR (optimizer LR override;
+CD usually wants lower than the teacher's), DISTILL_IDX_DIST ("lognormal"
+[default]: grid indices drawn with the discretized-lognormal importance
+weights of arXiv:2310.14189 sec. 3.5, P_mean=-1.1/P_std=2.0, which
+focuses training where consistency errors accumulate; or "uniform").
 """
 
 from __future__ import annotations
@@ -167,6 +171,22 @@ class TrainDistillation(TrainDiffusion):
 
         return loss, n
 
+    def _idx_logits(self, n_grid):
+        """Log-probabilities over grid indices 0..N-2.  "lognormal"
+        (default) = the discretized lognormal of arXiv:2310.14189 sec 3.5:
+        p(i) ~ erf((ln s_{i+1}-Pm)/(sqrt2 Ps)) - erf((ln s_i-Pm)/(sqrt2 Ps)),
+        P_mean=-1.1, P_std=2.0 — importance where consistency errors
+        accumulate; "uniform" recovers plain CD index sampling."""
+        from scipy.special import erf
+
+        if self.config.get("DISTILL_IDX_DIST", "lognormal") == "uniform":
+            return np.zeros(n_grid - 1, np.float32)
+        grid = self._sigma_grid()
+        pm, ps = -1.1, 2.0
+        cdf = erf((np.log(grid) - pm) / (np.sqrt(2.0) * ps))
+        p = np.maximum(cdf[1:] - cdf[:-1], 1e-12)
+        return np.log(p / p.sum()).astype(np.float32)
+
     def _make_train_step(self):
         if self.teacher_params is None:
             raise ValueError(
@@ -177,6 +197,7 @@ class TrainDistillation(TrainDiffusion):
         opt = self.opt
         ema_decay = self.ema_decay
         loss_fn, n_grid = self._distill_loss_fn()
+        idx_logits = jnp.asarray(self._idx_logits(n_grid))
 
         # teacher rides as an explicit (undonated) arg so XLA keeps ONE
         # device-resident copy instead of baking constants per executable
@@ -184,7 +205,8 @@ class TrainDistillation(TrainDiffusion):
         def _train_step(params, opt_state, ema_params, teacher, key, data,
                         E, layers):
             k_i, k_n = jax.random.split(key)
-            idx = jax.random.randint(k_i, (data.shape[0],), 0, n_grid - 1)
+            idx = jax.random.categorical(k_i, idx_logits,
+                                         shape=(data.shape[0],))
             noise = jax.random.normal(k_n, data.shape, data.dtype)
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, ema_params, teacher, data, E, layers, idx, noise

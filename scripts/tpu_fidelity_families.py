@@ -453,6 +453,12 @@ def layer_family(epochs):
         BATCH=128, MAXEPOCH=epochs, NSTEPS=400, LAYER_STEPS=400,
         LAYER_SIZE_UNET=[32, 32, 64, 32], COND_SIZE_UNET=128,
         BLOCK_ATTN=True, MID_ATTN=True, PRECISION="bf16",
+        # classifier-AUC at these short trainings is variance-prone
+        # (measured 0.44 vs 0.76 across identical 40-epoch ds2 runs);
+        # 200+ epochs (>=12k steps) with EMA averages the late-training
+        # weight noise out — unlike ds1's 2400-step run where EMA
+        # regressed, the step count here is well past the EMA horizon
+        EMA_DECAY=0.999,
         CHECKPOINT_NAME="fidelity_cascade",
     )
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt")
@@ -472,7 +478,7 @@ def layer_family(epochs):
     # oracle-layers diagnostic cleared was trained 200).
     layer_trainer = TrainLayerModel(
         default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt_layer"),
-        dict(cfg, MAXEPOCH=max(epochs * 2, 200)),
+        dict(cfg, MAXEPOCH=max(epochs * 2, 400)),
     )
     layer_trainer.train()
     print(f"[layer] layer model trained in {time.time()-t0:.0f}s", flush=True)
@@ -519,19 +525,23 @@ def layer_family(epochs):
         ref = f["showers"][:].astype(np.float32) * 0.001
         ref_e = f["incident_energies"][:].astype(np.float32) * 0.001
     seps = separations(ref, ref_e, gen, gen_e.reshape(-1), nlayer_axis=45)
+    dump = {"ref": ref, "ref_e": ref_e, "gen": gen,
+            "gen_e": gen_e.reshape(-1)}
     if gen_o is not None:
         seps.update({
             f"oracle_{k}": v for k, v in
             separations(ref, ref_e, gen_o, gen_e.reshape(-1),
                         nlayer_axis=45).items()
         })
+        dump["gen_oracle"] = gen_o
     if gen_q is not None:
         seps.update({
             f"int8_{k}": v for k, v in
             separations(ref, ref_e, gen_q, gen_e.reshape(-1),
                         nlayer_axis=45).items()
         })
-    return seps
+        dump["gen_int8"] = gen_q
+    return seps, dump
 
 
 def main():
@@ -549,8 +559,9 @@ def main():
     # hgcal converges by 25; ds1 @50 gives AUC 0.81 / FPD 0.66 but @100
     # reaches AUC 0.63 / FPD 0.10 (the NN-decode family just needs more
     # steps); layer's stage-2 is the cascade bottleneck (oracle-layers
-    # diagnostic: AUC 0.99 even with true layer energies at 25 epochs).
-    default_epochs = {"hgcal": 25, "ds1": 100, "layer": 100}
+    # diagnostic: AUC 0.81 even with true layer energies at 100 epochs —
+    # and short-training AUC is variance-prone, hence 200 epochs + EMA).
+    default_epochs = {"hgcal": 25, "ds1": 100, "layer": 200}
 
     report = {}
     if os.path.exists(REPORT):
@@ -561,6 +572,11 @@ def main():
                "layer": layer_family}
     for fam in families:
         seps = runners[fam](epochs or default_epochs[fam])
+        if isinstance(seps, tuple):  # (seps, arrays-to-dump)
+            seps, dump = seps
+            path = f"/tmp/fidelity_{fam}_arrays.npz"
+            np.savez_compressed(path, **dump)
+            print(f"[{fam}] dumped eval arrays to {path}", flush=True)
         for k, v in seps.items():
             print(f"[{fam}] separation[{k}] = {v:.4f}", flush=True)
             report[f"{fam}_{k}"] = v

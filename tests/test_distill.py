@@ -120,6 +120,33 @@ def test_distill_loss_stop_gradients(workspace):
     assert total > 0.0
 
 
+def test_idx_logits_lognormal_and_uniform(workspace):
+    """Index-importance weights (arXiv:2310.14189 sec 3.5): a proper
+    distribution over 0..N-2, more mass at mid/low sigma than the tail,
+    and the "uniform" option recovers flat logits."""
+    root, data = workspace
+    t = TrainDistillation(
+        default_flags(data_folder=data), _tiny_cfg(), load_data=False,
+        save_model=False,
+    )
+    logits = t._idx_logits(8)
+    p = np.exp(logits)
+    assert p.shape == (7,)
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+    grid = t._sigma_grid()
+    # lognormal(P_mean=-1.1) puts more mass near sigma~e^-1.1 than at the
+    # largest-sigma end of the grid
+    i_near = int(np.argmin(np.abs(np.log(grid[:-1]) + 1.1)))
+    assert p[i_near] > p[-1]
+
+    t2 = TrainDistillation(
+        default_flags(data_folder=data),
+        _tiny_cfg(DISTILL_IDX_DIST="uniform"), load_data=False,
+        save_model=False,
+    )
+    np.testing.assert_array_equal(t2._idx_logits(8), np.zeros(7, np.float32))
+
+
 # ----------------------------------------------------------------- e2e
 
 @pytest.mark.slow
