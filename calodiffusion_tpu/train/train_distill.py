@@ -72,8 +72,17 @@ class TrainDistillation(TrainDiffusion):
     student (see module docstring)."""
 
     def __init__(self, flags, config, teacher_params=None, **kw):
+        config = dict(config)
         if "DISTILL_LR" in config:  # CD usually wants a lower LR than the
-            config = dict(config, LR=config["DISTILL_LR"])  # teacher's
+            config["LR"] = config["DISTILL_LR"]  # teacher's
+        # the distill val metric (self-consistency gap along teacher
+        # trajectories) plateaus long before sampled quality stops
+        # improving (the EMA target keeps integrating), so the teacher's
+        # EARLYSTOP patience must not cut distillation short; opt back in
+        # with DISTILL_EARLYSTOP
+        config["EARLYSTOP"] = int(
+            config.get("DISTILL_EARLYSTOP", 10**9)
+        )
         super().__init__(flags, config, **kw)
         self._teacher_params_arg = teacher_params
 

@@ -120,6 +120,24 @@ def test_distill_loss_stop_gradients(workspace):
     assert total > 0.0
 
 
+def test_distill_ignores_teacher_earlystop(workspace):
+    """The teacher's EARLYSTOP patience must not cut distillation short:
+    the distill val metric plateaus early while the EMA target keeps
+    improving.  DISTILL_EARLYSTOP opts back in."""
+    root, data = workspace
+    t = TrainDistillation(
+        default_flags(data_folder=data), _tiny_cfg(EARLYSTOP=5),
+        load_data=False, save_model=False,
+    )
+    assert t.config["EARLYSTOP"] >= 10**9
+    t2 = TrainDistillation(
+        default_flags(data_folder=data),
+        _tiny_cfg(EARLYSTOP=5, DISTILL_EARLYSTOP=7),
+        load_data=False, save_model=False,
+    )
+    assert t2.config["EARLYSTOP"] == 7
+
+
 def test_idx_logits_lognormal_and_uniform(workspace):
     """Index-importance weights (arXiv:2310.14189 sec 3.5): a proper
     distribution over 0..N-2, more mass at mid/low sigma than the tail,
