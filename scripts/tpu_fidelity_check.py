@@ -66,7 +66,10 @@ def main():
     from tests.utils_test import tiny_ds2_config
 
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    epochs = int(pos[0]) if pos else 40
+    # 80 epochs + EMA: classifier AUC at 40 epochs is variance-prone
+    # (0.44 vs 0.76 measured on identical 40-epoch runs); 5k+ steps with
+    # EMA 0.999 averages the late-training weight noise out
+    epochs = int(pos[0]) if pos else 80
 
     tmp = tempfile.mkdtemp()
     rng = np.random.default_rng(0)
@@ -81,6 +84,7 @@ def main():
         BATCH=128, MAXEPOCH=epochs, NSTEPS=400,
         LAYER_SIZE_UNET=[32, 32, 64, 32], COND_SIZE_UNET=128,
         BLOCK_ATTN=True, MID_ATTN=True, PRECISION="bf16",
+        EMA_DECAY=0.999,
         CHECKPOINT_NAME="fidelity",
         ECUT=ECUT_RAW_MEV * 1e-3,  # GeV; ReverseNorm zeroes gen below it
     )
@@ -88,6 +92,8 @@ def main():
     trainer = TrainDiffusion(flags, cfg)
     t0 = time.time()
     model, params = trainer.train()
+    if trainer.ema_params is not None:  # sample from the EMA weights
+        params = trainer.ema_params
     print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
 
     eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg, eval=True)
@@ -110,10 +116,8 @@ def main():
             print("int8 requested but not allowed on this backend "
                   "(set CALODIFF_INT8=force off-TPU)", flush=True)
         else:
-            t0 = time.time()
-            model.prepare_int8(params)
-            print(f"int8 calibration: {time.time()-t0:.0f}s "
-                  f"({len(model._int8_scales)} convs)", flush=True)
+            # calibration happens lazily in generate() on the first real
+            # batch's conditioning (prepare_int8 docstring)
             eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
                                        eval=True)
             gen_q, en_q = model.generate(
