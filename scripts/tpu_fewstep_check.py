@@ -94,6 +94,7 @@ def main():
         BATCH=128, MAXEPOCH=epochs, NSTEPS=400,
         LAYER_SIZE_UNET=[32, 32, 64, 32], COND_SIZE_UNET=128,
         BLOCK_ATTN=True, MID_ATTN=True, PRECISION="bf16",
+        EMA_DECAY=0.999,  # sample from EMA weights, as tpu_fidelity_check
         CHECKPOINT_NAME="fewstep",
         ECUT=fid.ECUT_RAW_MEV * 1e-3,
     )
@@ -101,6 +102,11 @@ def main():
     trainer = TrainDiffusion(flags, cfg)
     t0 = time.time()
     model, params = trainer.train()
+    if trainer.ema_params is not None:
+        # EMA averages late-training weight noise out; the raw final-step
+        # weights measured AUC 0.77 where the EMA weights of the identical
+        # run measured 0.44 (tpu_fidelity_check.py history)
+        params = trainer.ema_params
     print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
 
     with h5py.File(os.path.join(tmp, "dataset_2_2.hdf5"), "r") as f:
