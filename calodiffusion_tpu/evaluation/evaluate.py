@@ -131,6 +131,43 @@ def shower_feature_matrix(
     return np.nan_to_num(feats.astype(np.float32))
 
 
+def feature_names(n_features: int, include_occupancy: bool = True):
+    """Column names matching shower_feature_matrix's layout."""
+    names = ["log1p_Etot", "Etot_over_Einc"]
+    if include_occupancy:
+        names += ["occupancy", "maxvox_frac"]
+    names += ["depth_mean", "depth_std"]
+    names += [f"log10_Elayer_{i}" for i in range(n_features - len(names))]
+    return names
+
+
+def per_feature_auc(f_ref: np.ndarray, f_gen: np.ndarray) -> np.ndarray:
+    """Single-feature Mann-Whitney AUC per column (P[gen > ref] with tie
+    correction) — pinpoints WHICH high-level feature a discriminating
+    classifier is keying on when the aggregate AUC is far from 0.5 while
+    FPD stays small (a low-variance systematic in one feature)."""
+    n_r, n_g = f_ref.shape[0], f_gen.shape[0]
+    aucs = np.empty(f_ref.shape[1])
+    for j in range(f_ref.shape[1]):
+        both = np.concatenate([f_ref[:, j], f_gen[:, j]])
+        order = np.argsort(both, kind="mergesort")
+        ranks = np.empty_like(order, dtype=np.float64)
+        ranks[order] = np.arange(1, both.size + 1)
+        # average ranks over ties
+        sorted_vals = both[order]
+        i = 0
+        while i < both.size:
+            k = i
+            while k + 1 < both.size and sorted_vals[k + 1] == sorted_vals[i]:
+                k += 1
+            if k > i:
+                ranks[order[i:k + 1]] = 0.5 * (i + 1 + k + 1)
+            i = k + 1
+        r_gen = ranks[n_r:].sum()
+        aucs[j] = (r_gen - n_g * (n_g + 1) / 2) / (n_r * n_g)
+    return aucs
+
+
 def fidelity_metrics(
     ref: np.ndarray,
     ref_e: np.ndarray,
@@ -153,6 +190,13 @@ def fidelity_metrics(
     f_ref = shower_feature_matrix(ref, ref_e, nlayers, include_occupancy)
     f_gen = shower_feature_matrix(gen, gen_e, nlayers, include_occupancy)
     cls = classifier_metrics(f_ref, f_gen, key=key, epochs=epochs)
+    if cls["auc"] > 0.65:  # diagnostic: name the discriminating features
+        names = feature_names(f_ref.shape[1], include_occupancy)
+        aucs = per_feature_auc(f_ref, f_gen)
+        top = np.argsort(-np.abs(aucs - 0.5))[:5]
+        print("[fidelity] top per-feature AUCs: "
+              + ", ".join(f"{names[j]}={aucs[j]:.3f}" for j in top),
+              flush=True)
     try:
         fpd_val, fpd_err = frechet.fpd(f_ref, f_gen)
     except (ValueError, np.linalg.LinAlgError) as err:
