@@ -399,6 +399,14 @@ def main():
                 extras[f"{pfx}_best_auc"] = fid.get(
                     f"{pfx}_{fid[f'{pfx}_best']}_classifier_auc"
                 )
+            if fid.get(f"{pfx}_best_rel"):
+                # fastest candidate that matches the 400-step baseline
+                # from the same weights within metric noise (the
+                # teacher-quality-independent sampler verdict)
+                extras[f"{pfx}_best_rel"] = fid[f"{pfx}_best_rel"]
+                extras[f"{pfx}_best_rel_showers_per_sec"] = (
+                    fid.get(f"{pfx}_best_rel_showers_per_sec")
+                )
 
     try:
         from bench_baselines.reference_torch import measure_reference_cpu

@@ -141,11 +141,41 @@ def feature_names(n_features: int, include_occupancy: bool = True):
     return names
 
 
-def per_feature_auc(f_ref: np.ndarray, f_gen: np.ndarray) -> np.ndarray:
+def per_feature_auc(f_ref: np.ndarray, f_gen: np.ndarray,
+                    cond_ref: np.ndarray | None = None,
+                    cond_gen: np.ndarray | None = None,
+                    n_bins: int = 10) -> np.ndarray:
     """Single-feature Mann-Whitney AUC per column (P[gen > ref] with tie
     correction) — pinpoints WHICH high-level feature a discriminating
     classifier is keying on when the aggregate AUC is far from 0.5 while
-    FPD stays small (a low-variance systematic in one feature)."""
+    FPD stays small (a low-variance systematic in one feature).
+
+    With ``cond_ref``/``cond_gen`` (a per-event conditioning scalar, e.g.
+    log E_inc), the AUC is computed within conditioning quantile bins and
+    count-averaged — the CONDITIONAL per-feature AUC.  This catches the
+    failure mode a marginal AUC hides: a feature that tracks the
+    conditioning strongly (e.g. voxel occupancy vs energy) can be shifted
+    ~1 sigma at EVERY energy yet look marginally identical, because the
+    conditioning-induced spread dominates the pooled distribution; a DNN
+    classifier reads the conditioning off other features and nails the
+    conditional residual."""
+    if cond_ref is not None:
+        cond_ref = np.asarray(cond_ref, np.float64).reshape(-1)
+        cond_gen = np.asarray(cond_gen, np.float64).reshape(-1)
+        edges = np.quantile(np.concatenate([cond_ref, cond_gen]),
+                            np.linspace(0, 1, n_bins + 1))
+        edges[0], edges[-1] = -np.inf, np.inf
+        acc = np.zeros(f_ref.shape[1])
+        tot = 0
+        for i in range(n_bins):
+            mr = (cond_ref >= edges[i]) & (cond_ref < edges[i + 1])
+            mg = (cond_gen >= edges[i]) & (cond_gen < edges[i + 1])
+            if mr.sum() < 8 or mg.sum() < 8:
+                continue
+            w = mr.sum() + mg.sum()
+            acc += w * per_feature_auc(f_ref[mr], f_gen[mg])
+            tot += w
+        return acc / max(tot, 1)
     n_r, n_g = f_ref.shape[0], f_gen.shape[0]
     aucs = np.empty(f_ref.shape[1])
     for j in range(f_ref.shape[1]):
@@ -196,6 +226,13 @@ def fidelity_metrics(
         top = np.argsort(-np.abs(aucs - 0.5))[:5]
         print("[fidelity] top per-feature AUCs: "
               + ", ".join(f"{names[j]}={aucs[j]:.3f}" for j in top),
+              flush=True)
+        le_r = np.log10(np.maximum(np.asarray(ref_e, np.float64), 1e-12))
+        le_g = np.log10(np.maximum(np.asarray(gen_e, np.float64), 1e-12))
+        caucs = per_feature_auc(f_ref, f_gen, cond_ref=le_r, cond_gen=le_g)
+        ctop = np.argsort(-np.abs(caucs - 0.5))[:5]
+        print("[fidelity] top per-feature AUCs conditional on E: "
+              + ", ".join(f"{names[j]}={caucs[j]:.3f}" for j in ctop),
               flush=True)
     try:
         fpd_val, fpd_err = frechet.fpd(f_ref, f_gen)

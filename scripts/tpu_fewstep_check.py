@@ -58,6 +58,18 @@ THRESH = {"Etot": 0.1, "ERatio": 0.1, "layer_profile_L1": 0.15}
 # AUC 0.91) would be surfaced as "ok" on histogram separations alone.
 AUC_MAX = 0.70
 FPD_MAX = 1.0
+# Relative-to-baseline gate: the absolute AUC inherits the teacher
+# training run's quality, which varies run-to-run (measured 0.44 vs 0.86
+# for two trainings of the same config; the discriminator is the voxel
+# occupancy CONDITIONAL on E — a ~1-sigma-per-event near-threshold deficit
+# that pooled histograms cannot see, diagnosed via
+# evaluation.evaluate.per_feature_auc(cond=...)).  The few-step question
+# is about the SAMPLER, so each candidate is also judged against the
+# 400-step baseline from the same weights: it must not degrade the
+# classifier or the FPD beyond metric noise (AUC err ~0.015 at n_val
+# ~1.2k; FPD err ~0.05).
+REL_AUC_DELTA = 0.05
+REL_FPD_DELTA = 0.25
 
 
 def main():
@@ -76,10 +88,12 @@ def main():
     from tests.utils_test import tiny_ds2_config
 
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    # 80 teacher epochs: at 40 the baseline's classifier AUC is
-    # variance-prone across runs (measured 0.44 vs 0.76 for two identical
-    # 40-epoch trainings) and every few-step verdict inherits the teacher
-    epochs = int(pos[0]) if pos else 80
+    # 200 teacher epochs: the baseline's classifier AUC is variance-prone
+    # across shorter runs (measured 0.44 @40 vs 0.86 @80 for identical
+    # configs — the near-threshold occupancy calibration is delicate) and
+    # every few-step verdict inherits the teacher; 200 epochs (~12k steps)
+    # with EMA is the cascade family's measured variance-reduction recipe
+    epochs = int(pos[0]) if pos else 200
 
     tmp = tempfile.mkdtemp()
     rng = np.random.default_rng(0)
@@ -170,15 +184,26 @@ def main():
         )
         gen_t = time.time() - t0
         seps = fid.compute_seps(ref, ref_e, gen, en, cfg, tmp)
-        ok = all(seps[k] < v for k, v in THRESH.items())
+        ok_hist = all(seps[k] < v for k, v in THRESH.items())
+        ok = ok_hist
         if "classifier_auc" in seps:
             ok = ok and seps["classifier_auc"] <= AUC_MAX
         if "fpd" in seps:
             ok = ok and seps["fpd"] <= FPD_MAX
-        results[tag] = {"seps": seps, "ok": ok, "gen_s": gen_t}
+        # sampler-step verdict decoupled from the teacher run's absolute
+        # quality: no degradation vs the 400-step baseline beyond noise
+        rel_ok = ok_hist and baseline is not None and (
+            seps.get("classifier_auc", 0.0)
+            <= baseline.get("classifier_auc", AUC_MAX) + REL_AUC_DELTA
+        ) and (
+            seps.get("fpd", 0.0)
+            <= baseline.get("fpd", FPD_MAX) + REL_FPD_DELTA
+        )
+        results[tag] = {"seps": seps, "ok": ok, "rel_ok": rel_ok,
+                        "gen_s": gen_t}
         if sampler_name == "DDim" and steps == 400:
             baseline = seps
-        print(f"[{tag}] ok={ok} Etot={seps['Etot']:.4f} "
+        print(f"[{tag}] ok={ok} rel_ok={rel_ok} Etot={seps['Etot']:.4f} "
               f"ERatio={seps['ERatio']:.4f} "
               f"auc={seps.get('classifier_auc', float('nan')):.3f} "
               f"fpd={seps.get('fpd', float('nan')):.4f} "
@@ -211,6 +236,7 @@ def main():
             if k in r["seps"]:
                 report[f"{prefix}_{tag}_{k}"] = r["seps"][k]
         report[f"{prefix}_{tag}_ok"] = r["ok"]
+        report[f"{prefix}_{tag}_rel_ok"] = r["rel_ok"]
         report[f"{prefix}_{tag}_showers_per_sec"] = round(speeds[tag], 2)
         if r["ok"] and speeds[tag] > best_speed:
             best_tag, best_speed = tag, speeds[tag]
@@ -228,6 +254,12 @@ def main():
                   "Re-run with more epochs.", flush=True)
     report[f"{prefix}_best"] = best_tag
     report[f"{prefix}_best_showers_per_sec"] = round(best_speed, 2)
+    rel_best, rel_speed = None, 0.0
+    for tag, r in results.items():
+        if tag != "DDim_400" and r["rel_ok"] and speeds[tag] > rel_speed:
+            rel_best, rel_speed = tag, speeds[tag]
+    report[f"{prefix}_best_rel"] = rel_best
+    report[f"{prefix}_best_rel_showers_per_sec"] = round(rel_speed, 2)
     with open(REPORT, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {REPORT}: {prefix}_best={best_tag} "
