@@ -424,9 +424,22 @@ def layer_family(epochs):
     from calodiffusion_tpu.utils.config import default_flags
     from tests.utils_test import tiny_ds2_config
 
+    # Training-statistics knob (--events N): the stage-2 conditional model
+    # must learn the near-threshold occupancy law CONDITIONAL on the
+    # 46-dim layer-energy vector — a statistics-hungry target (measured:
+    # at 8192 events the generated rear layers spread the same energy over
+    # ~4x more voxels and occupancy sits ~1 sigma low conditional on E;
+    # post-hoc trimming cannot fix it because the defect is conditional,
+    # not marginal).  Synthetic data is free, so the default is 4x the
+    # round-2 corpus.
+    n_train = 32768
+    if "--events" in sys.argv:
+        n_train = int(sys.argv[sys.argv.index("--events") + 1])
+
     tmp = tempfile.mkdtemp(prefix="fid_layer_")
     rng = np.random.default_rng(0)
-    for fname, n in (("dataset_2_1.hdf5", 8192), ("dataset_2_2.hdf5", 1536)):
+    for fname, n in (("dataset_2_1.hdf5", n_train),
+                     ("dataset_2_2.hdf5", 1536)):
         showers, e_inc = synth_showers(n, rng)
         # rescale per-event totals into the calibrated totalE range: the
         # layer-energy diffusion works in consts-standardized space, and
