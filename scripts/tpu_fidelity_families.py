@@ -487,11 +487,15 @@ def layer_family(epochs):
     # large-sigma noise prediction) while sampled-vector quality keeps
     # improving — measured vector-level classifier AUC 0.983 @ 25 epochs
     # vs 0.706 @ 100 on this data.  It is also ~100x cheaper per epoch,
-    # so train it to at least 200 epochs (the whitened stage-1 that the
-    # oracle-layers diagnostic cleared was trained 200).
+    # so train it to at least ~25k optimizer steps (the whitened stage-1
+    # that the oracle-layers diagnostic cleared was trained 400 epochs at
+    # 8192 events); the floor is expressed in steps so scaling the corpus
+    # (--events) keeps the optimization length constant instead of
+    # multiplying the wall clock.
+    stage1_floor = max(1, round(400 * 8192 / n_train))
     layer_trainer = TrainLayerModel(
         default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt_layer"),
-        dict(cfg, MAXEPOCH=max(epochs * 2, 400)),
+        dict(cfg, MAXEPOCH=max(epochs * 2, stage1_floor)),
     )
     layer_trainer.train()
     print(f"[layer] layer model trained in {time.time()-t0:.0f}s", flush=True)
@@ -562,7 +566,10 @@ def main():
 
     enable_compile_cache()
 
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = list(sys.argv[1:])
+    if "--events" in argv:  # drop the flag's VALUE from the positionals
+        del argv[argv.index("--events") + 1]
+    pos = [a for a in argv if not a.startswith("--")]
     epochs = None
     if pos and pos[0].isdigit():  # epochs may be omitted (family names only)
         epochs = int(pos.pop(0))
@@ -590,6 +597,13 @@ def main():
             path = f"/tmp/fidelity_{fam}_arrays.npz"
             np.savez_compressed(path, **dump)
             print(f"[{fam}] dumped eval arrays to {path}", flush=True)
+        # a rerun supersedes the family's whole entry: drop keys a run
+        # without --oracle/--int8 would otherwise leave dangling from an
+        # older run with different weights (stale-gate honesty).  The
+        # bare-prefix ds2 key "layer_profile_L1" is not a family key.
+        for k in [k for k in report
+                  if k.startswith(fam + "_") and k != "layer_profile_L1"]:
+            del report[k]
         for k, v in seps.items():
             print(f"[{fam}] separation[{k}] = {v:.4f}", flush=True)
             report[f"{fam}_{k}"] = v
