@@ -386,7 +386,7 @@ def main():
                 continue  # summarized below
             if any(key.endswith(s) for s in
                    ("classifier_auc", "classifier_jsd", "fpd", "fpd_err",
-                    "int8_ok", "int8_Etot")):
+                    "_ok", "int8_Etot")):
                 extras[key] = val
         # few-step production sampling (scripts/tpu_fewstep_check.py):
         # fastest (sampler, steps) that passed the same fidelity gate

@@ -14,7 +14,7 @@ and bench.py surfaces the fastest candidate that passes the gate.
 Run: python scripts/tpu_fewstep_check.py [epochs] [--int8] [--distill[=N]]
 
 --distill additionally consistency-distills the trained model
-(train/train_distill.py, N distill epochs, default 150) and adds
+(train/train_distill.py, N distill epochs, default 400) and adds
 Consistency@{1,2,4}-step candidates generated from the student's EMA
 target network — the same fidelity gate decides whether 1-4 U-Net-eval
 generation is production-ready.
@@ -134,12 +134,89 @@ def main():
             model.config["QUANT_INT8"] = False
         # calibration happens lazily in generate() on the first real batch
 
-    # consistency distillation: teacher -> few-step student
     distill_arg = next((a for a in sys.argv if a.startswith("--distill")),
                        None)
     student_params = None
-    candidates = list(CANDIDATES)
+    results = {}
+    speeds = {}
+    baseline = None  # 400-step DDim from the same weights, for reference
+
+    def eval_candidates(cand_list):
+        nonlocal baseline
+        for sampler_name, steps in cand_list:
+            tag = f"{sampler_name}_{steps}"
+            eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
+                                       eval=True)
+            sampler = model.make_sampler(sampler_name)
+            gen_params = (
+                student_params if sampler_name == "Consistency" else params
+            )
+            if (sampler_name == "Consistency"
+                    and model.config.get("QUANT_INT8")
+                    and model.int8_sampling_enabled()):
+                # invalidate so generate() re-calibrates for the student
+                # weights (lazily, on the first real batch's conditioning)
+                model._int8_scales = None
+            t0 = time.time()
+            gen, en = model.generate(
+                gen_params, jax.random.PRNGKey(0), eval_loader,
+                sample_steps=steps, sampler=sampler,
+            )
+            gen_t = time.time() - t0
+            seps = fid.compute_seps(ref, ref_e, gen, en, cfg, tmp)
+            ok_hist = all(seps[k] < v for k, v in THRESH.items())
+            ok = ok_hist
+            if "classifier_auc" in seps:
+                ok = ok and seps["classifier_auc"] <= AUC_MAX
+            if "fpd" in seps:
+                ok = ok and seps["fpd"] <= FPD_MAX
+            # sampler-step verdict decoupled from the teacher run's
+            # absolute quality: no degradation vs the 400-step baseline
+            # beyond noise
+            rel_ok = ok_hist and baseline is not None and (
+                seps.get("classifier_auc", 0.0)
+                <= baseline.get("classifier_auc", AUC_MAX) + REL_AUC_DELTA
+            ) and (
+                seps.get("fpd", 0.0)
+                <= baseline.get("fpd", FPD_MAX) + REL_FPD_DELTA
+            )
+            results[tag] = {"seps": seps, "ok": ok, "rel_ok": rel_ok,
+                            "gen_s": gen_t}
+            if sampler_name == "DDim" and steps == 400:
+                baseline = seps
+            print(f"[{tag}] ok={ok} rel_ok={rel_ok} "
+                  f"Etot={seps['Etot']:.4f} "
+                  f"ERatio={seps['ERatio']:.4f} "
+                  f"auc={seps.get('classifier_auc', float('nan')):.3f} "
+                  f"fpd={seps.get('fpd', float('nan')):.4f} "
+                  f"({gen_t:.0f}s generate)", flush=True)
+
+    def measure_speeds(cand_list):
+        # throughput at each candidate's step count (random weights -
+        # bench.py methodology; throughput is architecture/step-count
+        # determined)
+        for sampler_name, steps in cand_list:
+            c = dict(cfg)
+            c["SAMPLER"] = sampler_name
+            c.pop("CHECKPOINT_NAME", None)
+            if model.config.get("QUANT_INT8"):
+                c["QUANT_INT8"] = True
+            val, _ = bench.measure_sampling(c, batch=128, num_steps=steps)
+            speeds[f"{sampler_name}_{steps}"] = val
+            print(f"[{sampler_name}_{steps}] {val:.1f} showers/sec",
+                  flush=True)
+
+    # The standard candidates are evaluated and REPORTED before the
+    # (expensive, ~80 min) distillation phase starts: a truncated run
+    # still lands fewstep_best instead of losing everything at the
+    # finish line.
+    eval_candidates([("DDim", 400)] + list(CANDIDATES))
+    measure_speeds(CANDIDATES)
+    write_report(results, speeds, baseline,
+                 int8=bool(model.config.get("QUANT_INT8")))
+
     if distill_arg is not None:
+        # consistency distillation: teacher -> few-step student
         from calodiffusion_tpu.train.train_distill import TrainDistillation
 
         d_epochs = int(distill_arg.split("=", 1)[1]) if "=" in distill_arg \
@@ -158,75 +235,32 @@ def main():
         student_params = distiller.ema_params
         print(f"distilled {d_epochs} epochs in {time.time()-t0:.0f}s",
               flush=True)
-        candidates += [("Consistency", 1), ("Consistency", 2),
-                       ("Consistency", 4)]
+        cons = [("Consistency", 1), ("Consistency", 2),
+                ("Consistency", 4)]
+        eval_candidates(cons)
+        measure_speeds(cons)
+        write_report(results, speeds, baseline,
+                     int8=bool(model.config.get("QUANT_INT8")))
 
-    results = {}
-    baseline = None  # 400-step DDim from the same weights, for reference
-    for sampler_name, steps in [("DDim", 400)] + candidates:
-        tag = f"{sampler_name}_{steps}"
-        eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
-                                   eval=True)
-        sampler = model.make_sampler(sampler_name)
-        gen_params = (
-            student_params if sampler_name == "Consistency" else params
-        )
-        if (sampler_name == "Consistency"
-                and model.config.get("QUANT_INT8")
-                and model.int8_sampling_enabled()):
-            # invalidate so generate() re-calibrates for the student
-            # weights (lazily, on the first real batch's conditioning)
-            model._int8_scales = None
-        t0 = time.time()
-        gen, en = model.generate(
-            gen_params, jax.random.PRNGKey(0), eval_loader,
-            sample_steps=steps, sampler=sampler,
-        )
-        gen_t = time.time() - t0
-        seps = fid.compute_seps(ref, ref_e, gen, en, cfg, tmp)
-        ok_hist = all(seps[k] < v for k, v in THRESH.items())
-        ok = ok_hist
-        if "classifier_auc" in seps:
-            ok = ok and seps["classifier_auc"] <= AUC_MAX
-        if "fpd" in seps:
-            ok = ok and seps["fpd"] <= FPD_MAX
-        # sampler-step verdict decoupled from the teacher run's absolute
-        # quality: no degradation vs the 400-step baseline beyond noise
-        rel_ok = ok_hist and baseline is not None and (
-            seps.get("classifier_auc", 0.0)
-            <= baseline.get("classifier_auc", AUC_MAX) + REL_AUC_DELTA
-        ) and (
-            seps.get("fpd", 0.0)
-            <= baseline.get("fpd", FPD_MAX) + REL_FPD_DELTA
-        )
-        results[tag] = {"seps": seps, "ok": ok, "rel_ok": rel_ok,
-                        "gen_s": gen_t}
-        if sampler_name == "DDim" and steps == 400:
-            baseline = seps
-        print(f"[{tag}] ok={ok} rel_ok={rel_ok} Etot={seps['Etot']:.4f} "
-              f"ERatio={seps['ERatio']:.4f} "
-              f"auc={seps.get('classifier_auc', float('nan')):.3f} "
-              f"fpd={seps.get('fpd', float('nan')):.4f} "
-              f"({gen_t:.0f}s generate)", flush=True)
 
-    # throughput at each candidate's step count (random weights - bench.py
-    # methodology; throughput is architecture/step-count determined)
-    speeds = {}
-    for sampler_name, steps in candidates:
-        c = dict(cfg)
-        c["SAMPLER"] = sampler_name
-        c.pop("CHECKPOINT_NAME", None)
-        if model.config.get("QUANT_INT8"):
-            c["QUANT_INT8"] = True
-        val, _ = bench.measure_sampling(c, batch=128, num_steps=steps)
-        speeds[f"{sampler_name}_{steps}"] = val
-        print(f"[{sampler_name}_{steps}] {val:.1f} showers/sec", flush=True)
+def write_report(results, speeds, baseline, int8=False):
+    """Merge this run's fewstep results into fidelity_report.json.
 
+    Called once after the standard candidates and (when --distill) again
+    after the Consistency candidates; each call supersedes this prefix's
+    whole entry, so keys from an earlier run with different weights (or
+    candidates no longer measured, e.g. Consistency_* when distillation
+    was not rerun) cannot masquerade as current."""
     report = {}
     if os.path.exists(REPORT):
         with open(REPORT) as f:
             report = json.load(f)
-    prefix = "fewstep_int8" if model.config.get("QUANT_INT8") else "fewstep"
+    prefix = "fewstep_int8" if int8 else "fewstep"
+    for k in [k for k in report
+              if k.startswith(prefix + "_")
+              and not (prefix == "fewstep"
+                       and k.startswith("fewstep_int8_"))]:
+        del report[k]
     best_tag, best_speed = None, 0.0
     for tag, r in results.items():
         if tag == "DDim_400":
