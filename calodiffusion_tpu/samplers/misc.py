@@ -161,18 +161,26 @@ class BespokeNonStationary(Sample):
         denoise = self.make_denoise_fn(model, params, energy, layers)
         bs = bshape(start)
         theta = jnp.asarray(self.theta[:, sample_offset:])
+        steps = theta.shape[1]
 
-        x = start
+        # per-step sigma is a fresh standard normal per the reference's
+        # model_fn (:1108-1110, "Don't really care about the noise
+        # schedule"); injectable for golden trajectory parity
+        inj = self.take_noise(steps, (start.shape[0],))
+        if inj is not None:
+            sigmas = inj.reshape((steps,) + bs)
+        else:
+            sigmas = jax.random.normal(
+                key, (steps, start.shape[0])
+            ).reshape((steps,) + bs)
 
-        def body(carry, ab):
-            x, k = carry
-            k, kn = jax.random.split(k)
-            sigma = jax.random.normal(kn, (x.shape[0],)).reshape(bs)
+        def body(x, step):
+            ab, sigma = step
             u = denoise(x, sigma)
             x = x * ab[0] + u * ab[1]
-            return (x, k), None
+            return x, x
 
-        (x, _), _ = jax.lax.scan(body, (x, key), theta.T)
+        x, xs = jax.lax.scan(body, start, (theta.T, sigmas))
         if debug:
-            return x, None, None
+            return x, xs, start
         return x

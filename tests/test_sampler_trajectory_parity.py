@@ -964,3 +964,61 @@ def test_generate_cross_framework_dpmpp2m():
         x, x_ref.numpy(), atol=5e-3 * scale, rtol=5e-3,
         err_msg="cross-framework DPMPP2M generation diverged",
     )
+
+
+# ---------------------------------------------------------------------------
+# BespokeNonStationary (reference :1013-1122): affine per-step solver with a
+# loaded theta table; per-step sigma is a fresh standard normal
+# (reference model_fn :1108-1110)
+# ---------------------------------------------------------------------------
+
+
+def test_bespoke_trajectory_injected_sigma(tmp_path, monkeypatch):
+    """With the same theta table and the same injected per-step sigmas the
+    whole trajectory must match step-for-step (the solve step is
+    x <- a_i x + b_i * denoise(x, sigma_i), reference :1050-1060)."""
+    sample = _load_ref("calodiffusion.models.sample")
+    start = _start(5)
+    steps = 9
+    rng = np.random.default_rng(41)
+    theta = rng.normal(0.5, 0.2, size=(2, steps)).astype(np.float32)
+    # sigma draws are (B,)-shaped (reference :1110: torch.randn(x.shape[0]))
+    sigma_table = rng.standard_normal((steps, SHAPE[0])).astype(np.float32)
+
+    pth = tmp_path / "bns_sampler.pth"
+    with open(pth, "wb") as f:
+        torch.save(torch.from_numpy(theta.copy()), f)
+    _, randn, cursor = _make_torch_randn(sigma_table)
+    monkeypatch.setattr(torch, "randn", randn)
+
+    ref_model = _FakeTorchModel(NSTEPS)
+    with torch.no_grad():
+        class _Flags:  # .get's default arg evaluates flags eagerly (:1044)
+            data_folder = str(tmp_path)
+
+        x_ref, xs_ref, _, u_ref = sample.BespokeNonStationary(
+            {"SAMPLER_OPTIONS": {"SAMPLER_PATH": str(pth)},
+             "flags": _Flags()}
+        )(
+            ref_model, torch.from_numpy(start.copy()), None, None,
+            steps, 0, debug=True,
+        )
+    assert cursor[0] == steps
+
+    npy = tmp_path / "bns_sampler.npy"
+    np.save(npy, theta)
+
+    from calodiffusion_tpu.samplers.misc import BespokeNonStationary
+
+    x, xs, _, s = _run_ours(
+        BespokeNonStationary, {"SAMPLER_OPTIONS": {"SAMPLER_PATH": str(npy)}},
+        steps, start, noise_table=sigma_table,
+    )
+    assert s.noise_draws == steps
+    assert xs.shape[0] == len(xs_ref)
+    for t in range(steps):
+        np.testing.assert_allclose(
+            xs[t], xs_ref[t].numpy(), rtol=5e-4, atol=5e-4,
+            err_msg=f"BespokeNonStationary diverges at step {t}",
+        )
+    np.testing.assert_allclose(x, x_ref.numpy(), rtol=5e-4, atol=5e-4)
