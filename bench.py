@@ -351,17 +351,26 @@ def main():
                     log(f"{name}: {val:.2f} showers/sec @ batch {b}")
                 except Exception as e:
                     log(f"{name} bench failed: {e}")
-            # opt-in W8A8 int8 sampling (ops/quant.py; TPU-only)
-            for name, b in (("ds2", batch), ("ds1", 512), ("ds3", 128),
-                            ("hgcal", 128)):
-                try:
-                    cfg = dict(_dataset_config(name, tmpdir),
-                               QUANT_INT8=True)
-                    val, _ = measure_sampling(cfg, b, num_steps, runs=1)
-                    fam[f"{name}_int8_showers_per_sec"] = round(val, 3)
-                    log(f"{name} int8: {val:.2f} showers/sec @ batch {b}")
-                except Exception as e:
-                    log(f"{name} int8 bench failed: {e}")
+            # opt-in W8A8 int8 sampling (ops/quant.py; TPU-only).  Skip
+            # entirely when the backend won't actually dispatch int8 —
+            # otherwise the plain bf16 numbers would be recorded (and
+            # cached) under *_int8_* keys.
+            from calodiffusion_tpu.ops import quant
+
+            if not quant.int8_allowed():
+                log("int8 bench skipped: backend does not dispatch int8 "
+                    "(ops/quant.int8_allowed() is False)")
+            else:
+                for name, b in (("ds2", batch), ("ds1", 512), ("ds3", 128),
+                                ("hgcal", 128)):
+                    try:
+                        cfg = dict(_dataset_config(name, tmpdir),
+                                   QUANT_INT8=True)
+                        val, _ = measure_sampling(cfg, b, num_steps, runs=1)
+                        fam[f"{name}_int8_showers_per_sec"] = round(val, 3)
+                        log(f"{name} int8: {val:.2f} showers/sec @ batch {b}")
+                    except Exception as e:
+                        log(f"{name} int8 bench failed: {e}")
             extras.update(fam)
             with open(extras_cache, "w") as f:
                 json.dump(fam, f, indent=1)

@@ -175,7 +175,12 @@ def per_feature_auc(f_ref: np.ndarray, f_gen: np.ndarray,
             w = mr.sum() + mg.sum()
             acc += w * per_feature_auc(f_ref[mr], f_gen[mg])
             tot += w
-        return acc / max(tot, 1)
+        if tot == 0:
+            # no bin had enough events on both sides: the conditional AUC
+            # is undefined — return the null 0.5, not 0.0 (which would
+            # read as maximal deviation to |auc-0.5| consumers)
+            return np.full(f_ref.shape[1], 0.5)
+        return acc / tot
     n_r, n_g = f_ref.shape[0], f_gen.shape[0]
     aucs = np.empty(f_ref.shape[1])
     for j in range(f_ref.shape[1]):

@@ -572,7 +572,9 @@ class CaloDiffusion:
                 data_batches.append(np.asarray(d_batch))
                 if i == 0 and xs is not None:
                     self._debug_sample_plot(
-                        np.asarray(xs), np.asarray(x0s), np.asarray(d_batch)
+                        np.asarray(xs),
+                        None if x0s is None else np.asarray(x0s),
+                        np.asarray(d_batch),
                     )
                 out = x
             generated.append(np.asarray(out))
@@ -630,7 +632,10 @@ class CaloDiffusion:
                             max(n - 10, 0), max(n - 5, 0), n - 1]))
         name = self.config.get("CHECKPOINT_NAME", "debug")
         for j in steps:
-            for tag, arr in (("gen", xs[j]), ("x0", x0s[j])):
+            series = [("gen", xs[j])]
+            if x0s is not None:  # some samplers expose no x0 trajectory
+                series.append(("x0", x0s[j]))
+            for tag, arr in series:
                 fig = plt.figure(figsize=(8, 6))
                 plt.hist(arr.reshape(-1), bins=40, density=True,
                          histtype="step", color="blue", label="Diffu")

@@ -182,5 +182,5 @@ class BespokeNonStationary(Sample):
 
         x, xs = jax.lax.scan(body, start, (theta.T, sigmas))
         if debug:
-            return x, xs, start
+            return x, xs, None
         return x

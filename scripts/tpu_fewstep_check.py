@@ -72,6 +72,25 @@ REL_AUC_DELTA = 0.05
 REL_FPD_DELTA = 0.25
 
 
+def parse_seed(argv, default=1234):
+    """Extract ``--seed N`` / ``--seed=N`` from an argv list.
+
+    Returns ``(seed, remaining_argv)``.  Parsed once, both spellings —
+    an equals-form seed silently falling through to the default would
+    reproduce the same failed teacher the operator meant to re-roll."""
+    argv = list(argv)
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i:i + 2]
+        return seed, argv
+    for i, a in enumerate(argv):
+        if a.startswith("--seed="):
+            del argv[i]
+            return int(a.split("=", 1)[1]), argv
+    return default, argv
+
+
 def main():
     import jax
 
@@ -87,9 +106,11 @@ def main():
     from calodiffusion_tpu.utils.config import default_flags
     from tests.utils_test import tiny_ds2_config
 
-    argv = list(sys.argv[1:])
-    if "--seed" in argv:  # drop the flag's VALUE from the positionals
-        del argv[argv.index("--seed") + 1]
+    # --seed N / --seed=N varies the training-noise PRNG stream: the
+    # teacher's near-threshold occupancy calibration is measurably
+    # run-to-run variant (AUC 0.44 vs 0.78+ across draws), so a failed
+    # teacher can be re-rolled without touching the data or the config
+    seed, argv = parse_seed(sys.argv[1:])
     pos = [a for a in argv if not a.startswith("--")]
     # 200 teacher epochs: the baseline's classifier AUC is variance-prone
     # across shorter runs (measured 0.44 @40 vs 0.86 @80 for identical
@@ -115,13 +136,6 @@ def main():
         CHECKPOINT_NAME="fewstep",
         ECUT=fid.ECUT_RAW_MEV * 1e-3,
     )
-    # --seed N varies the training-noise PRNG stream: the teacher's
-    # near-threshold occupancy calibration is measurably run-to-run
-    # variant (AUC 0.44 vs 0.78+ across draws), so a failed teacher can
-    # be re-rolled without touching the data or the config
-    seed = 1234
-    if "--seed" in sys.argv:
-        seed = int(sys.argv[sys.argv.index("--seed") + 1])
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt",
                           seed=seed)
     trainer = TrainDiffusion(flags, cfg)
@@ -298,13 +312,19 @@ def write_report(results, speeds, baseline, int8=False):
                   "this run measure the teacher, not the samplers. "
                   "Re-run with more epochs.", flush=True)
     report[f"{prefix}_best"] = best_tag
-    report[f"{prefix}_best_showers_per_sec"] = round(best_speed, 2)
+    # speed keys are None alongside a None tag — a fabricated 0.0 would
+    # read as a (terrible) measured throughput to report consumers
+    report[f"{prefix}_best_showers_per_sec"] = (
+        round(best_speed, 2) if best_tag else None
+    )
     rel_best, rel_speed = None, 0.0
     for tag, r in results.items():
         if tag != "DDim_400" and r["rel_ok"] and speeds[tag] > rel_speed:
             rel_best, rel_speed = tag, speeds[tag]
     report[f"{prefix}_best_rel"] = rel_best
-    report[f"{prefix}_best_rel_showers_per_sec"] = round(rel_speed, 2)
+    report[f"{prefix}_best_rel_showers_per_sec"] = (
+        round(rel_speed, 2) if rel_best else None
+    )
     with open(REPORT, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {REPORT}: {prefix}_best={best_tag} "

@@ -110,15 +110,14 @@ def feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis, top=8,
     """Diagnostic: when the classifier separates well, print which
     high-level features carry the difference (standardized mean shift and
     variance ratio per feature of shower_feature_matrix)."""
-    from calodiffusion_tpu.evaluation.evaluate import shower_feature_matrix
+    from calodiffusion_tpu.evaluation.evaluate import (
+        feature_names,
+        shower_feature_matrix,
+    )
 
     f_ref = shower_feature_matrix(ref, ref_e, nlayer_axis, include_occupancy)
     f_gen = shower_feature_matrix(gen, gen_e, nlayer_axis, include_occupancy)
-    names = ["log1p_Etot", "Etot/Einc"]
-    if include_occupancy:
-        names += ["sparsity", "max_voxel_frac"]
-    names += ["depth_mean", "depth_std"]
-    names += [f"log10_Elayer_{i}" for i in range(f_ref.shape[1] - len(names))]
+    names = feature_names(f_ref.shape[1], include_occupancy)
     mu_r, mu_g = f_ref.mean(0), f_gen.mean(0)
     sd_r = np.maximum(f_ref.std(0), 1e-12)
     sd_g = np.maximum(f_gen.std(0), 1e-12)

@@ -171,3 +171,18 @@ def test_fpd_not_dominated_by_empty_layer():
     m = fidelity_metrics(real, real_e, gen, gen_e, nlayers=nlayers,
                          epochs=5)
     assert m["fpd"] < 1.0, m
+
+
+def test_conditional_per_feature_auc_null_when_bins_too_small():
+    """When no conditioning bin has enough events on both sides, the
+    conditional AUC is undefined and must return the NULL value 0.5 —
+    an all-zeros vector would rank every feature as maximally deviant
+    (|auc - 0.5| = 0.5) in the attribution diagnostic."""
+    from calodiffusion_tpu.evaluation.evaluate import per_feature_auc
+
+    r = np.random.default_rng(0)
+    f_ref, f_gen = r.normal(size=(20, 3)), r.normal(size=(20, 3))
+    out = per_feature_auc(f_ref, f_gen,
+                          cond_ref=r.normal(size=20),
+                          cond_gen=r.normal(size=20), n_bins=10)
+    np.testing.assert_array_equal(out, 0.5)

@@ -90,3 +90,34 @@ def test_write_report_flags_unconverged_teacher(tmp_path, monkeypatch,
     assert out["fewstep_best"] is None          # absolute gate: nothing
     assert out["fewstep_best_rel"] == "DDim_50"  # relative verdict survives
     assert "teacher has not converged" in capsys.readouterr().out
+
+
+def test_write_report_null_speed_when_no_candidate(tmp_path, monkeypatch):
+    """A None verdict must carry a None speed — a fabricated 0.0 next to
+    a null tag reads as a (terrible) measured throughput."""
+    fs = _load_module()
+    report_path = tmp_path / "fidelity_report.json"
+    monkeypatch.setattr(fs, "REPORT", str(report_path))
+
+    baseline = _seps(0.95, 5.0)
+    results = {
+        "DDim_400": {"seps": baseline, "ok": False, "rel_ok": False,
+                     "gen_s": 1.0},
+        "DDim_50": {"seps": _seps(0.99, 9.0), "ok": False, "rel_ok": False,
+                    "gen_s": 1.0},
+    }
+    fs.write_report(results, {"DDim_50": 250.0}, baseline, int8=False)
+
+    out = json.loads(report_path.read_text())
+    assert out["fewstep_best"] is None
+    assert out["fewstep_best_showers_per_sec"] is None
+    assert out["fewstep_best_rel"] is None
+    assert out["fewstep_best_rel_showers_per_sec"] is None
+
+
+def test_parse_seed_both_spellings():
+    fs = _load_module()
+    assert fs.parse_seed(["100", "--seed", "42", "--int8"]) == (
+        42, ["100", "--int8"])
+    assert fs.parse_seed(["--seed=7", "100"]) == (7, ["100"])
+    assert fs.parse_seed(["100"]) == (1234, ["100"])

@@ -1,15 +1,16 @@
 """Real-data tests against actual CaloChallenge Geant4 files (VERDICT r2
 Missing #1).  The synthetic suite can never validate the preprocessing
 constants or the ds1 irregular geometry against real showers; these tests
-do, using the zenodo dataset-1 photon file the reference's own CI downloads
+do, using the two zenodo dataset-1 files (photons AND pions) the
+reference's own CI downloads
 (reference .github/workflows/test-calochallenge.yml:27-37).
 
 Gating: set ``CALODIF_REAL_DATA_DIR`` to a directory containing
-``dataset_1_photons_1.hdf5`` and ``CALODIF_BINNING_DIR`` to the
-CaloChallenge ``code/`` directory (for the binning XMLs).  The workflow
-.github/workflows/test-realdata.yml downloads/clones both and sets
-``CALODIF_REQUIRE_REAL_DATA=1`` so a missing download FAILS instead of
-skipping green.
+``dataset_1_photons_1.hdf5`` / ``dataset_1_pions_1.hdf5`` and
+``CALODIF_BINNING_DIR`` to the CaloChallenge ``code/`` directory (for the
+binning XMLs).  The workflow .github/workflows/test-realdata.yml
+downloads/clones both and sets ``CALODIF_REQUIRE_REAL_DATA=1`` so a
+missing download FAILS instead of skipping green.
 """
 
 import os
@@ -21,14 +22,39 @@ DATA_DIR = os.environ.get("CALODIF_REAL_DATA_DIR", "")
 BINNING_DIR = os.environ.get("CALODIF_BINNING_DIR", "")
 PHOTON_FILE = os.path.join(DATA_DIR, "dataset_1_photons_1.hdf5")
 PHOTON_XML = os.path.join(BINNING_DIR, "binning_dataset_1_photons.xml")
+PION_FILE = os.path.join(DATA_DIR, "dataset_1_pions_1.hdf5")
+PION_XML = os.path.join(BINNING_DIR, "binning_dataset_1_pions.xml")
+
+# (file, binning xml, flat voxel count, dataset_num) per particle — the
+# reference CI downloads BOTH dataset-1 files
+# (test-calochallenge.yml:27-37); pions exercise the other irregular
+# geometry (533 voxels, 7 relevant layers) and the dataset_num=0 constants
+PARTICLES = {
+    "photon": (PHOTON_FILE, PHOTON_XML, 368, 1),
+    "pion": (PION_FILE, PION_XML, 533, 0),
+}
 
 _available = os.path.exists(PHOTON_FILE) and os.path.exists(PHOTON_XML)
-if not _available and os.environ.get("CALODIF_REQUIRE_REAL_DATA"):
+_missing_required = [
+    p for p, (f, x, _, _) in PARTICLES.items()
+    if not (os.path.exists(f) and os.path.exists(x))
+]
+if _missing_required and os.environ.get("CALODIF_REQUIRE_REAL_DATA"):
     raise RuntimeError(
         "CALODIF_REQUIRE_REAL_DATA is set but real-data inputs are missing "
-        f"(looked for {PHOTON_FILE} and {PHOTON_XML}) — the real-data gate "
-        "must fail, not skip"
+        f"for {_missing_required} (under {DATA_DIR!r} / {BINNING_DIR!r}) — "
+        "the real-data gate must fail, not skip"
     )
+
+
+def _particle(name):
+    """Per-particle inputs, skipping (not failing) in local runs where only
+    one of the files was fetched; under CALODIF_REQUIRE_REAL_DATA the
+    module-level check above has already made missing files a hard error."""
+    fpath, xml, nvox, dnum = PARTICLES[name]
+    if not (os.path.exists(fpath) and os.path.exists(xml)):
+        pytest.skip(f"real {name} data not present")
+    return fpath, xml, nvox, dnum
 
 pytestmark = [
     pytest.mark.realdata,
@@ -47,31 +73,34 @@ DS1 = dict(
 )
 
 
-def _load_raw(n=512):
+def _load_raw(n=512, fpath=None):
     import h5py
 
-    with h5py.File(PHOTON_FILE, "r") as f:
+    with h5py.File(fpath or PHOTON_FILE, "r") as f:
         showers = f["showers"][:n].astype(np.float32)
         e = f["incident_energies"][:n].astype(np.float32)
     return showers, e
 
 
-def test_real_preprocess_reversenorm_roundtrip():
+@pytest.mark.parametrize("particle", ["photon", "pion"])
+def test_real_preprocess_reversenorm_roundtrip(particle):
     """preprocess -> reverse_norm on REAL showers recovers the raw Geant
     depositions: validates the logit/layer-split chain and the shipped
-    EMAX/EMIN/MAXDEP constants against real data (not just synthetic)."""
+    EMAX/EMIN/MAXDEP constants against real data (not just synthetic).
+    Pions exercise the dataset_num=0 constants and layer boundaries."""
     from calodiffusion_tpu.utils.preprocessing import (
         preprocess_shower,
         reverse_norm,
     )
 
-    raw, raw_e = _load_raw()
+    fpath, xml, _, dnum = _particle(particle)
+    raw, raw_e = _load_raw(fpath=fpath)
     scale = DS1["SHOWERSCALE"]
     shower, e = raw * scale, raw_e * scale
 
     pre, layerE = preprocess_shower(
-        shower.copy(), e, (-1, 1, raw.shape[1]), PHOTON_XML,
-        DS1["SHOWERMAP"], dataset_num=1, orig_shape=True,
+        shower.copy(), e, (-1, 1, raw.shape[1]), xml,
+        DS1["SHOWERMAP"], dataset_num=dnum, orig_shape=True,
         ecut=DS1["ECUT"], max_deposit=DS1["MAXDEP"],
     )
     assert np.isfinite(pre).all(), "preprocessing produced non-finite values"
@@ -87,8 +116,8 @@ def test_real_preprocess_reversenorm_roundtrip():
     rec, energy = reverse_norm(
         pre.reshape(pre.shape[0], 1, -1), e_norm,
         emax=DS1["EMAX"], emin=DS1["EMIN"], shape=(-1, 1, raw.shape[1]),
-        binning_file=PHOTON_XML, max_deposit=DS1["MAXDEP"], logE=True,
-        layerE=layerE, showerMap=DS1["SHOWERMAP"], dataset_num=1,
+        binning_file=xml, max_deposit=DS1["MAXDEP"], logE=True,
+        layerE=layerE, showerMap=DS1["SHOWERMAP"], dataset_num=dnum,
         orig_shape=True, ecut=DS1["ECUT"],
     )
     np.testing.assert_allclose(energy.reshape(-1), e.reshape(-1), rtol=1e-4)
@@ -102,17 +131,19 @@ def test_real_preprocess_reversenorm_roundtrip():
     )
 
 
-def test_real_geomconverter_roundtrip():
-    """GeomConverter vs the REAL ragged dataset-1 geometry: flat 368-voxel
-    showers -> regular (5, 10, R) grid -> back, conserving energy (the
-    area-weighted rebin + pinv must behave on real binning edges, reference
-    utils/GeomConverter)."""
+@pytest.mark.parametrize("particle", ["photon", "pion"])
+def test_real_geomconverter_roundtrip(particle):
+    """GeomConverter vs the REAL ragged dataset-1 geometries: flat showers
+    (photons 368 voxels, pions 533) -> regular (L, 10, R) grid -> back,
+    conserving energy (the area-weighted rebin + pinv must behave on real
+    binning edges, reference utils/GeomConverter)."""
     from calodiffusion_tpu.utils.geom import GeomConverter
     from calodiffusion_tpu.utils.xml_handler import XMLHandler
 
-    raw, _ = _load_raw(128)
-    bins = XMLHandler("photon", PHOTON_XML)
-    assert bins.GetTotalNumberOfBins() == raw.shape[1] == 368
+    fpath, xml, nvox, _ = _particle(particle)
+    raw, _ = _load_raw(128, fpath=fpath)
+    bins = XMLHandler(particle, xml)
+    assert bins.GetTotalNumberOfBins() == raw.shape[1] == nvox
 
     g = GeomConverter(bins)
     grid = np.asarray(g.convert(g.reshape(raw)))

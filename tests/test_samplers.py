@@ -182,3 +182,42 @@ def test_restart_dense_list_applies_all_configs(monkeypatch):
     assert len(calls) == 3  # every config applied, ties included
     applied = {c[1] for c in calls}
     assert (3, 1, 19.0, 40.0) in applied and (3, 1, 20.0, 41.0) in applied
+
+
+@pytest.mark.parametrize("name", ["DPM", "BespokeNonStationary"])
+def test_debug_without_x0_trajectory(name, tmp_path):
+    """Samplers that expose no x0 trajectory must return x0s=None with a
+    BATCH-INDEPENDENT xs, and the debug plot hook must tolerate the None
+    (regression: DPM returned x0s=None that generate() np.asarray'd into
+    a 0-d object array; BespokeNonStationary returned the batch-shaped
+    start array in the x0 slot)."""
+    steps, batch = 10, 2
+    cfg = dict(CFG)
+    if name == "BespokeNonStationary":
+        theta = np.stack(
+            [np.full(steps, 0.5), np.full(steps, 0.5)]
+        ).astype(np.float32)
+        path = tmp_path / "theta.npy"
+        np.save(path, theta)
+        cfg["SAMPLER_OPTIONS"] = {"SAMPLER_PATH": str(path)}
+    model = DummyModel(nsteps=steps)
+    sampler = get_sampler(name)(cfg)
+    start = jax.random.normal(jax.random.PRNGKey(0), (batch, 16))
+    x, xs, x0s = sampler(model, None, start, jnp.ones((batch, 1)), None,
+                         steps, 0, jax.random.PRNGKey(1), True)
+    assert x0s is None
+    xs = np.asarray(xs)
+    assert xs.ndim == 3 and xs.shape[1:] == (batch, 16)
+
+    # the generate() debug hook must accept a None x0 trajectory
+    from types import SimpleNamespace
+
+    from calodiffusion_tpu.models.diffusion import CaloDiffusion
+
+    dummy = SimpleNamespace(config={"CHECKPOINT_NAME": "t"})
+    CaloDiffusion._debug_sample_plot(
+        dummy, xs, None, np.asarray(start), plot_folder=str(tmp_path)
+    )
+    import os
+
+    assert any(f.endswith(".png") for f in os.listdir(tmp_path))
