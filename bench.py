@@ -265,7 +265,9 @@ def measure_train_step(config, batch: int, runs: int = 10) -> float:
 
     from calodiffusion_tpu.ops.pallas_linear_attention import training_trace
 
-    with training_trace():  # gradient trace: skip the fused attention kernel
+    with training_trace():  # gradient trace: fused Pallas attention fwd+bwd
+        # (default since the block backward kernel landed;
+        # CALODIFF_FUSED_ATTN=fwdonly restores the unfused XLA chain)
         params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(4))
     jax.block_until_ready(loss)
     t0 = time.perf_counter()

@@ -212,6 +212,7 @@ def fidelity_metrics(
     key=None,
     epochs: int = 20,
     include_occupancy: bool = True,
+    features=None,
 ) -> dict[str, float]:
     """Classifier AUC/JSD + FPD between Geant and generated showers.
 
@@ -219,11 +220,16 @@ def fidelity_metrics(
     reference's sharpest gate); FPD ~= 0 likewise over the feature matrix.
     ``include_occupancy=False`` for embedded-decode families — see
     shower_feature_matrix (mirrors reference hgcal_metrics.py:247-250).
+    ``features=(f_ref, f_gen)`` skips recomputing the feature matrices
+    when the caller already built them (they are O(N*voxels) to extract).
     Returns {"classifier_auc", "classifier_jsd", "fpd", "fpd_err"}."""
     from calodiffusion_tpu.evaluation.classifier import classifier_metrics
 
-    f_ref = shower_feature_matrix(ref, ref_e, nlayers, include_occupancy)
-    f_gen = shower_feature_matrix(gen, gen_e, nlayers, include_occupancy)
+    if features is not None:
+        f_ref, f_gen = features
+    else:
+        f_ref = shower_feature_matrix(ref, ref_e, nlayers, include_occupancy)
+        f_gen = shower_feature_matrix(gen, gen_e, nlayers, include_occupancy)
     cls = classifier_metrics(f_ref, f_gen, key=key, epochs=epochs)
     if cls["auc"] > 0.65:  # diagnostic: name the discriminating features
         names = feature_names(f_ref.shape[1], include_occupancy)

@@ -399,7 +399,10 @@ class DPMPP2S(DPM):
             key, kn = jax.random.split(key)
             x = x + jax.random.normal(kn, x.shape, x.dtype) * self.s_noise * su_last
         if debug:
-            return x, traj[0], traj[1]
+            # last frame = the returned sample: the post-loop ancestral
+            # noise (above) is part of the output the debug plot keys on
+            xs = traj[0].at[-1].set(x)
+            return x, xs, traj[1]
         return x
 
 

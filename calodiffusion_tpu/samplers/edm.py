@@ -173,9 +173,12 @@ class _SecondOrderEDM(EDMBase):
         den = self.denoise_at(denoise, x_hat, t_hat, bs)
         x = x_hat + (t_next - t_hat) * (x_hat - den) / t_hat
         if debug:
-            return x, traj[0] if traj is not None else None, (
-                traj[1] if traj is not None else None
-            )
+            # append the final Euler step so the trajectory's last frame
+            # IS the returned sample (the debug plot keys on xs[-1])
+            xs, x0s = traj
+            xs = jnp.concatenate([xs, x[None]], axis=0)
+            x0s = jnp.concatenate([x0s, den[None]], axis=0)
+            return x, xs, x0s
         return x
 
 

@@ -190,19 +190,22 @@ def main():
             gen_t = time.time() - t0
             seps = fid.compute_seps(ref, ref_e, gen, en, cfg, tmp)
             ok_hist = all(seps[k] < v for k, v in THRESH.items())
-            ok = ok_hist
-            if "classifier_auc" in seps:
-                ok = ok and seps["classifier_auc"] <= AUC_MAX
-            if "fpd" in seps:
-                ok = ok and seps["fpd"] <= FPD_MAX
+            # the sharp instruments ARE the gate: if classifier/FPD failed
+            # to compute (compute_seps swallows e.g. a singular-covariance
+            # error so the report survives), the candidate FAILS — a
+            # missing metric must never pass vacuously
+            have_sharp = "classifier_auc" in seps and "fpd" in seps
+            ok = (ok_hist and have_sharp
+                  and seps["classifier_auc"] <= AUC_MAX
+                  and seps["fpd"] <= FPD_MAX)
             # sampler-step verdict decoupled from the teacher run's
             # absolute quality: no degradation vs the 400-step baseline
             # beyond noise
-            rel_ok = ok_hist and baseline is not None and (
-                seps.get("classifier_auc", 0.0)
+            rel_ok = ok_hist and have_sharp and baseline is not None and (
+                seps["classifier_auc"]
                 <= baseline.get("classifier_auc", AUC_MAX) + REL_AUC_DELTA
             ) and (
-                seps.get("fpd", 0.0)
+                seps["fpd"]
                 <= baseline.get("fpd", FPD_MAX) + REL_FPD_DELTA
             )
             results[tag] = {"seps": seps, "ok": ok, "rel_ok": rel_ok,

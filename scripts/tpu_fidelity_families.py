@@ -48,6 +48,26 @@ REPORT = os.path.join(
 SPARSITY_QUANTILE = 0.45
 
 
+def parse_flag_value(argv, flag, default=None, cast=int):
+    """Extract ``--flag N`` / ``--flag=N`` from an argv list (both
+    spellings — an equals-form value silently falling through to the
+    default would mis-attribute a recorded scaling point).
+
+    Returns ``(value, remaining_argv)``."""
+    argv = list(argv)
+    if flag in argv:
+        i = argv.index(flag)
+        val = cast(argv[i + 1])
+        del argv[i:i + 2]
+        return val, argv
+    pfx = flag + "="
+    for i, a in enumerate(argv):
+        if a.startswith(pfx):
+            del argv[i]
+            return cast(a[len(pfx):]), argv
+    return default, argv
+
+
 def separations(ref, ref_e, gen, gen_e, nlayer_axis, include_occupancy=True):
     """Common separation set over (N, ...) physical showers.
 
@@ -88,35 +108,35 @@ def separations(ref, ref_e, gen, gen_e, nlayer_axis, include_occupancy=True):
 
     # the sharper instruments: DNN classifier AUC/JSD + FPD over high-level
     # features (VERDICT r2 Weak #2 — reference gates: train/evaluate.py FPD,
-    # tests/hgcal_metrics.py classifier)
-    from calodiffusion_tpu.evaluation.evaluate import fidelity_metrics
-
-    try:
-        seps.update(fidelity_metrics(
-            ref, ref_e, gen, gen_e, nlayers=nlayer_axis,
-            include_occupancy=include_occupancy,
-        ))
-    except Exception as err:  # report must survive a singular-cov corner
-        print(f"classifier/FPD metrics failed: {err}", flush=True)
-
-    if seps.get("classifier_auc", 0.0) > 0.7:
-        feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis,
-                       include_occupancy=include_occupancy)
-    return seps
-
-
-def feature_deltas(ref, ref_e, gen, gen_e, nlayer_axis, top=8,
-                   include_occupancy=True):
-    """Diagnostic: when the classifier separates well, print which
-    high-level features carry the difference (standardized mean shift and
-    variance ratio per feature of shower_feature_matrix)."""
+    # tests/hgcal_metrics.py classifier).  The O(N*voxels) feature matrices
+    # are built ONCE here and shared with the feature_deltas diagnostic.
     from calodiffusion_tpu.evaluation.evaluate import (
-        feature_names,
+        fidelity_metrics,
         shower_feature_matrix,
     )
 
     f_ref = shower_feature_matrix(ref, ref_e, nlayer_axis, include_occupancy)
     f_gen = shower_feature_matrix(gen, gen_e, nlayer_axis, include_occupancy)
+    try:
+        seps.update(fidelity_metrics(
+            ref, ref_e, gen, gen_e, nlayers=nlayer_axis,
+            include_occupancy=include_occupancy, features=(f_ref, f_gen),
+        ))
+    except Exception as err:  # report must survive a singular-cov corner
+        print(f"classifier/FPD metrics failed: {err}", flush=True)
+
+    if seps.get("classifier_auc", 0.0) > 0.7:
+        feature_deltas(f_ref, f_gen, include_occupancy=include_occupancy)
+    return seps
+
+
+def feature_deltas(f_ref, f_gen, top=8, include_occupancy=True):
+    """Diagnostic: when the classifier separates well, print which
+    high-level features carry the difference (standardized mean shift and
+    variance ratio per feature of precomputed shower_feature_matrix
+    arrays)."""
+    from calodiffusion_tpu.evaluation.evaluate import feature_names
+
     names = feature_names(f_ref.shape[1], include_occupancy)
     mu_r, mu_g = f_ref.mean(0), f_gen.mean(0)
     sd_r = np.maximum(f_ref.std(0), 1e-12)
@@ -431,9 +451,7 @@ def layer_family(epochs):
     # post-hoc trimming cannot fix it because the defect is conditional,
     # not marginal).  Synthetic data is free, so the default is 4x the
     # round-2 corpus.
-    n_train = 32768
-    if "--events" in sys.argv:
-        n_train = int(sys.argv[sys.argv.index("--events") + 1])
+    n_train, _ = parse_flag_value(sys.argv[1:], "--events", default=32768)
 
     tmp = tempfile.mkdtemp(prefix="fid_layer_")
     rng = np.random.default_rng(0)
@@ -565,9 +583,7 @@ def main():
 
     enable_compile_cache()
 
-    argv = list(sys.argv[1:])
-    if "--events" in argv:  # drop the flag's VALUE from the positionals
-        del argv[argv.index("--events") + 1]
+    _, argv = parse_flag_value(sys.argv[1:], "--events")  # strip flag+value
     pos = [a for a in argv if not a.startswith("--")]
     epochs = None
     if pos and pos[0].isdigit():  # epochs may be omitted (family names only)

@@ -221,3 +221,19 @@ def test_debug_without_x0_trajectory(name, tmp_path):
     import os
 
     assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
+@pytest.mark.parametrize("name", ["Heun", "DPM2", "DPMPP2S"])
+def test_debug_last_frame_is_returned_sample(name):
+    """The debug trajectory's last frame must BE the returned sample —
+    regression: the second-order EDM samplers omitted their post-scan
+    final Euler step and DPMPP2S its post-loop ancestral noise, so the
+    'final-step' debug histogram was not the output distribution."""
+    steps, batch = 12, 4
+    model = DummyModel(nsteps=steps)
+    sampler = get_sampler(name)(dict(CFG))
+    start = jax.random.normal(jax.random.PRNGKey(0), (batch, 16))
+    x, xs, _ = sampler(model, None, start, jnp.ones((batch, 1)), None,
+                       steps, 0, jax.random.PRNGKey(1), True)
+    np.testing.assert_allclose(np.asarray(xs)[-1], np.asarray(x),
+                               rtol=1e-6, atol=1e-6)
