@@ -1,5 +1,6 @@
 """Physics-fidelity convergence checks for the non-ds2 families (HGCal
-in-model GLaM and dataset-1 orig-NN), on synthetic energy-structured data.
+in-model GLaM, dataset-1 photons/pions orig-NN, and the two-stage layer
+cascade), on synthetic energy-structured data.
 
 Complements scripts/tpu_fidelity_check.py (dataset-2): trains the real
 model end-to-end through the real loader/CLI surfaces, generates with
@@ -328,26 +329,51 @@ def hgcal_family(epochs):
     return seps
 
 
-def ds1_family(epochs):
+# Stand-in dataset-1 geometries, structurally shaped like the real binning
+# XMLs: (layer id, r_edges, n_bin_alpha) per relevant layer.  Photons: 4
+# layers mixing alpha=1 and alpha=10 rings (real file: 5 layers, 368
+# voxels).  Pions (real file: 7 layers, 533 voxels): more layers, ragged
+# uneven r_edges, and an alpha=1-heavy tail — the pion binning's
+# distinguishing features — exercising the dataset_num=0 constants.
+DS1_GEOMS = {
+    "photon": [
+        ("0", list(range(0, 31, 2)), 1),
+        ("1", list(range(0, 31)), 10),
+        ("2", list(range(0, 31, 3)), 10),
+        ("3", list(range(0, 31, 5)), 1),
+    ],
+    "pion": [
+        ("0", [0, 5, 10, 30, 50, 100, 200, 300], 1),
+        ("1", [0, 2, 4, 6, 10, 15, 30, 50, 90, 150, 200, 300], 10),
+        ("2", [0, 5, 10, 20, 30, 50, 80, 130, 200, 300], 10),
+        ("3", [0, 50, 100, 200, 300], 1),
+        ("4", [0, 10, 20, 30, 50, 80, 100, 130, 160, 200, 250, 300], 1),
+        ("5", [0, 50, 100, 150, 200, 250, 300], 1),
+        ("6", [0, 50, 100, 150, 200, 250, 300], 1),
+    ],
+}
+
+
+def ds1_family(epochs, particle="photon"):
     from calodiffusion_tpu.utils.geom import GeomConverter
     from calodiffusion_tpu.utils.xml_handler import XMLHandler
 
-    tmp = tempfile.mkdtemp(prefix="fid_ds1_")
+    tag = "ds1" if particle == "photon" else "ds1pion"
+    dnum = 1 if particle == "photon" else 0
+    tmp = tempfile.mkdtemp(prefix=f"fid_{tag}_")
     xml = os.path.join(tmp, "binning.xml")
     with open(xml, "w") as f:
-        f.write("".join([
-            '<Bins>\n<Particle name="photon">\n',
-            '  <Bin id="0" r_edges="',
-            ",".join(str(i) for i in range(0, 31, 2)), '" n_bin_alpha="1"/>\n',
-            '  <Bin id="1" r_edges="',
-            ",".join(str(i) for i in range(0, 31)), '" n_bin_alpha="10"/>\n',
-            '  <Bin id="2" r_edges="',
-            ",".join(str(i) for i in range(0, 31, 3)), '" n_bin_alpha="10"/>\n',
-            '  <Bin id="3" r_edges="',
-            ",".join(str(i) for i in range(0, 31, 5)), '" n_bin_alpha="1"/>\n',
-            "</Particle>\n</Bins>\n",
-        ]))
-    bins = XMLHandler("photon", xml)
+        f.write(
+            f'<Bins>\n<Particle name="{particle}">\n'
+            + "".join(
+                f'  <Bin id="{bid}" r_edges="'
+                + ",".join(str(i) for i in edges)
+                + f'" n_bin_alpha="{nalpha}"/>\n'
+                for bid, edges, nalpha in DS1_GEOMS[particle]
+            )
+            + "</Particle>\n</Bins>\n"
+        )
+    bins = XMLHandler(particle, xml)
     total = bins.GetTotalNumberOfBins()
     r_out = GeomConverter(bins).dim_r_out
 
@@ -357,8 +383,9 @@ def ds1_family(epochs):
     bounds = np.asarray(bins.GetBinEdges())
     lay_sizes = np.diff(bounds)
 
-    for fname, n in (("dataset_1_photons_1.hdf5", 6144),
-                     ("dataset_1_photons_2.hdf5", 1536)):
+    f_train = f"dataset_1_{particle}s_1.hdf5"
+    f_eval = f"dataset_1_{particle}s_2.hdf5"
+    for fname, n in ((f_train, 6144), (f_eval, 1536)):
         # raw MeV so that x SHOWERSCALE(0.001) lands in [EMIN, EMAX] GeV
         E = (256.0 * (4194304.0 / 256.0) **
              rng.uniform(0, 1, (n, 1))).astype(np.float32)
@@ -385,14 +412,14 @@ def ds1_family(epochs):
     from tests.utils_test import tiny_ds2_config
 
     cfg = tiny_ds2_config(
-        FILES=["dataset_1_photons_1.hdf5"],
-        VAL_FILES=["dataset_1_photons_2.hdf5"],
-        EVAL=["dataset_1_photons_2.hdf5"],
-        DATASET_NUM=1, BIN_FILE=xml, PART_TYPE="photon",
+        FILES=[f_train],
+        VAL_FILES=[f_eval],
+        EVAL=[f_eval],
+        DATASET_NUM=dnum, BIN_FILE=xml, PART_TYPE=particle,
         SHOWER_EMBED="orig-NN",
         SHAPE_ORIG=[-1, total],
         SHAPE_PAD=[-1, 1, total],
-        SHAPE_FINAL=[-1, 1, 4, 10, r_out],
+        SHAPE_FINAL=[-1, 1, len(DS1_GEOMS[particle]), 10, r_out],
         LAYER_SIZE_UNET=[16, 16, 32, 32], COND_SIZE_UNET=64,
         BLOCK_ATTN=False, MID_ATTN=True,
         R_Z_INPUT=False, PHI_INPUT=True,
@@ -403,11 +430,10 @@ def ds1_family(epochs):
         # measured A/B: EMA_DECAY=0.999 here REGRESSES (AUC 0.81 -> 0.94,
         # FPD 0.66 -> 2.36) — 50 epochs is only ~2400 steps, so the EMA
         # is still dominated by early-training weights.  Leave EMA off.
-        CHECKPOINT_NAME="fidelity_ds1",
+        CHECKPOINT_NAME=f"fidelity_{tag}",
     )
     ref, ref_e, gen, gen_e, gen_q, gen_rt = run_family(
-        "ds1", cfg, tmp, epochs, "dataset_1_photons_2.hdf5",
-        "incident_energies",
+        tag, cfg, tmp, epochs, f_eval, "incident_energies",
     )
     # ds1 goes through the GeomConverter/NN decode (same rank limitation
     # as GLaM) - occupancy features excluded, see separations()
@@ -596,7 +622,7 @@ def main():
     # steps); layer's stage-2 is the cascade bottleneck (oracle-layers
     # diagnostic: AUC 0.81 even with true layer energies at 100 epochs —
     # and short-training AUC is variance-prone, hence 200 epochs + EMA).
-    default_epochs = {"hgcal": 25, "ds1": 100, "layer": 200}
+    default_epochs = {"hgcal": 25, "ds1": 100, "ds1pion": 100, "layer": 200}
 
     report = {}
     if os.path.exists(REPORT):
@@ -604,6 +630,7 @@ def main():
             report = json.load(f)
 
     runners = {"hgcal": hgcal_family, "ds1": ds1_family,
+               "ds1pion": lambda e: ds1_family(e, particle="pion"),
                "layer": layer_family}
     for fam in families:
         seps = runners[fam](epochs or default_epochs[fam])
