@@ -73,6 +73,8 @@ def save_checkpoint(
     params: Any,
     opt_state: Any = None,
     ema_params: Any = None,
+    swa_params: Any = None,
+    swa_n: int = 0,
     epoch: int = 0,
     training_losses: dict | None = None,
     val_losses: dict | None = None,
@@ -86,10 +88,13 @@ def save_checkpoint(
         arrays["opt_state"] = opt_state
     if ema_params is not None:
         arrays["ema_params"] = ema_params
+    if swa_params is not None:
+        arrays["swa_params"] = swa_params
     save_arrays(os.path.join(folder, name + ".ckpt"), arrays, wait=wait)
 
     host = {
         "epoch": int(epoch),
+        "swa_n": int(swa_n),
         "train_loss_hist": {str(k): float(v) for k, v in (training_losses or {}).items()},
         "val_loss_hist": {str(k): float(v) for k, v in (val_losses or {}).items()},
         "scheduler_state": scheduler_state or {},
@@ -105,9 +110,19 @@ def save_checkpoint(
         f.write("\n".join(str(v) for v in (val_losses or {}).values()) + "\n")
 
 
+def inference_params(arrays: Any, host: dict) -> Any:
+    """The weights inference should use from a loaded checkpoint:
+    SWA tail average if one was accumulated (host ``swa_n`` > 0), else
+    EMA, else raw params."""
+    if host.get("swa_n", 0) and arrays.get("swa_params") is not None:
+        return arrays["swa_params"]
+    ema = arrays.get("ema_params")
+    return ema if ema is not None else arrays["params"]
+
+
 def load_checkpoint(folder: str, name: str, abstract_arrays: Any | None = None):
     """Returns (arrays, host_state).  ``arrays`` has keys params[/opt_state,
-    ema_params].
+    ema_params, swa_params].
 
     Pass ``abstract_arrays`` (a pytree of like-structured arrays) to restore
     exact container types: orbax alone returns plain nested dicts, which

@@ -102,10 +102,9 @@ class TrainDistillation(TrainDiffusion):
         name = os.path.basename(loc)
         for suffix in (".ckpt", ".pth"):
             name = name.removesuffix(suffix)
-        arrays, _ = ckpt_io.load_checkpoint(folder, name)
-        # sample-quality weights: prefer the teacher's EMA params
-        ema = arrays.get("ema_params")
-        return ema if ema is not None else arrays["params"]
+        arrays, host = ckpt_io.load_checkpoint(folder, name)
+        # sample-quality weights: prefer the teacher's SWA/EMA params
+        return ckpt_io.inference_params(arrays, host)
 
     def init_model(self):
         super().init_model()

@@ -34,8 +34,8 @@ class TrainLayerModel(TrainDiffusion):
             name = os.path.basename(loc)
             for suffix in (".ckpt", ".pth"):
                 name = name.removesuffix(suffix)
-            arrays, _ = ckpt_io.load_checkpoint(folder, name)
-            return arrays.get("ema_params") or arrays["params"]
+            arrays, host = ckpt_io.load_checkpoint(folder, name)
+            return ckpt_io.inference_params(arrays, host)
 
         base = load_params(self.flags.model_loc)
         if isinstance(base, dict) and "base_model" in base:
@@ -72,9 +72,7 @@ class TrainLayerModel(TrainDiffusion):
             self.params = dict(self.params)
             self.params["layer_model"] = dict(self.params["layer_model"])
             self.params["layer_model"]["whiten"] = self._layer_whiten_stats()
-        self.ema_decay = float(self.config.get("EMA_DECAY", 0.0))
-        if self.ema_decay > 0:
-            self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        self._init_aux_params()
         return self.model
 
     def _layer_whiten_stats(self):

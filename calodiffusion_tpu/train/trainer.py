@@ -65,6 +65,8 @@ class Train:
         self._cache_epoch = 0
         self.params = None
         self.ema_params = None
+        self.swa_params = None  # SWA tail average (SWA_START_EPOCH >= 0)
+        self.swa_n = 0  # epochs folded into swa_params so far
         self.opt = None
         self.opt_state = None
         self.rng = jax.random.PRNGKey(getattr(flags, "seed", 1234) or 1234)
@@ -86,6 +88,7 @@ class Train:
             self.checkpoint_folder, name,
             params=self.params, opt_state=self.opt_state,
             ema_params=self.ema_params,
+            swa_params=self.swa_params, swa_n=self.swa_n,
             epoch=epoch, training_losses=training_losses,
             val_losses=val_losses,
             scheduler_state=scheduler.state_dict(),
@@ -109,6 +112,8 @@ class Train:
         abstract = {"params": self.params, "opt_state": self.opt_state}
         if self.ema_params is not None:
             abstract["ema_params"] = self.ema_params
+        if self.swa_params is not None:
+            abstract["swa_params"] = self.swa_params
         try:
             arrays, host = ckpt_io.load_checkpoint(folder, name, abstract)
         except ckpt_io.CheckpointMissingError:
@@ -135,6 +140,11 @@ class Train:
             self.opt_state = mesh_lib.replicate(self.mesh, arrays["opt_state"])
         if arrays.get("ema_params") is not None:
             self.ema_params = mesh_lib.replicate(self.mesh, arrays["ema_params"])
+        if arrays.get("swa_params") is not None and not restart_training:
+            self.swa_params = mesh_lib.replicate(
+                self.mesh, arrays["swa_params"]
+            )
+            self.swa_n = int(host.get("swa_n", 0))
         if not restart_training:
             if host.get("scheduler_state"):
                 scheduler.load_state_dict(host["scheduler_state"])
@@ -147,7 +157,8 @@ class Train:
     def load_for_inference(self):
         """Load model weights only (reference run_inference's
         pickup_checkpoint(restart_training=True), inference.py:347-354).
-        Prefers EMA weights when present."""
+        Prefers SWA weights when a tail average exists (swa_n > 0), then
+        EMA, then raw params."""
         if self.model is None:
             self.init_model()
         model_loc = getattr(self.flags, "model_loc", None)
@@ -158,9 +169,8 @@ class Train:
                 name = name.removesuffix(suffix)
         else:
             folder, name = self.checkpoint_folder, "checkpoint"
-        arrays, _ = ckpt_io.load_checkpoint(folder, name)
-        ema = arrays.get("ema_params")
-        params = ema if ema is not None else arrays["params"]
+        arrays, host = ckpt_io.load_checkpoint(folder, name)
+        params = ckpt_io.inference_params(arrays, host)
         self.params = mesh_lib.replicate(self.mesh, params)
         if self.config.get("COLD_DIFFU", False):
             # sampling starts from the avg-shower cold prior
@@ -211,10 +221,60 @@ class TrainDiffusion(Train):
         )
         self.rng, k = jax.random.split(self.rng)
         self.params = self.model.init(k)
+        self._init_aux_params()
+        return self.model
+
+    def _init_aux_params(self):
+        """EMA + SWA state, from the live config.
+
+        SWA (stochastic weight averaging, arXiv:1803.05407): an
+        equal-weight average of the per-epoch weights from
+        ``SWA_START_EPOCH`` onward, the standard variance-reduction
+        recipe for run-to-run training noise (the measured residual on
+        the cascade fidelity gate — docs/ROUND3.md).  When EMA is also
+        on, the average is taken over the EMA trajectory (the weights
+        inference would otherwise use).  The networks normalize with
+        GroupNorm only, so no BatchNorm-statistic recompute pass is
+        needed after averaging.  ``swa_params`` is allocated whenever
+        SWA is enabled — not lazily at the first fold — so the
+        checkpoint key set is stable across every epoch of a run and
+        typed (opt_state-preserving) resume keeps working; ``swa_n``
+        says whether it holds a meaningful average yet.
+        """
         self.ema_decay = float(self.config.get("EMA_DECAY", 0.0))
         if self.ema_decay > 0:
             self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
-        return self.model
+        self.swa_start = int(self.config.get("SWA_START_EPOCH", -1))
+        frac = self.config.get("SWA_START_FRAC")
+        if self.swa_start < 0 and frac is not None:
+            # fraction-of-MAXEPOCH spelling: composes with per-stage
+            # MAXEPOCH overrides (the cascade trains stage 1 much longer)
+            self.swa_start = int(
+                float(frac) * int(self.config.get("MAXEPOCH", 30))
+            )
+        if self.swa_start >= 0:
+            self.swa_params = jax.tree_util.tree_map(jnp.copy, self.params)
+            self.swa_n = 0
+
+    def _swa_update(self):
+        """Fold the current inference-preferred weights into the running
+        SWA average: swa <- swa + (w - swa) / (n + 1)."""
+        src = self.ema_params if self.ema_params is not None else self.params
+        n = self.swa_n
+        self.swa_params = jax.tree_util.tree_map(
+            lambda s, p: s + (p - s) / (n + 1), self.swa_params, src
+        )
+        self.swa_n = n + 1
+
+    def inference_weights(self):
+        """The weights sampling should use after (or during) training:
+        SWA tail average if accumulated, else EMA, else raw params —
+        same preference order as ``checkpoint.inference_params``."""
+        if self.swa_params is not None and self.swa_n > 0:
+            return self.swa_params
+        if self.ema_params is not None:
+            return self.ema_params
+        return self.params
 
     def _make_train_step(self):
         model = self.model
@@ -437,6 +497,9 @@ class TrainDiffusion(Train):
                 )
                 val_losses[epoch] = val_loss
                 print(f"val_loss: {val_loss}", flush=True)
+
+            if getattr(self, "swa_start", -1) >= 0 and epoch >= self.swa_start:
+                self._swa_update()
 
             # quirk preserved: the plateau scheduler steps on the TRAIN loss
             # (reference train_diffusion.py:110)

@@ -141,11 +141,11 @@ def main():
     trainer = TrainDiffusion(flags, cfg)
     t0 = time.time()
     model, params = trainer.train()
-    if trainer.ema_params is not None:
-        # EMA averages late-training weight noise out; the raw final-step
-        # weights measured AUC 0.77 where the EMA weights of the identical
-        # run measured 0.44 (tpu_fidelity_check.py history)
-        params = trainer.ema_params
+    # EMA averages late-training weight noise out; the raw final-step
+    # weights measured AUC 0.77 where the EMA weights of the identical
+    # run measured 0.44 (tpu_fidelity_check.py history).  SWA tail
+    # averaging (SWA_START_FRAC/--swa) stacks on top when enabled.
+    params = trainer.inference_weights()
     print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
 
     with h5py.File(os.path.join(tmp, "dataset_2_2.hdf5"), "r") as f:

@@ -87,13 +87,16 @@ def main():
         EMA_DECAY=0.999,
         CHECKPOINT_NAME="fidelity",
         ECUT=ECUT_RAW_MEV * 1e-3,  # GeV; ReverseNorm zeroes gen below it
+        # --swa: SWA tail averaging over the last quarter (trainer.py
+        # _swa_update) on top of EMA — run-to-run variance reduction
+        **({"SWA_START_FRAC": 0.75} if "--swa" in sys.argv else {}),
     )
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt")
     trainer = TrainDiffusion(flags, cfg)
     t0 = time.time()
     model, params = trainer.train()
-    if trainer.ema_params is not None:  # sample from the EMA weights
-        params = trainer.ema_params
+    # SWA tail average if accumulated, else EMA, else raw final weights
+    params = trainer.inference_weights()
     print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
 
     eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg, eval=True)

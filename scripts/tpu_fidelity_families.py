@@ -16,7 +16,10 @@ Run: python scripts/tpu_fidelity_families.py [epochs] [family ...] [--int8]
       attributing any fidelity gap between the two stages; --roundtrip
       additionally passes the eval showers through the geometry embed's
       encode->decode and records ceiling_* keys — the embedding's own
-      fidelity ceiling, independent of the diffusion model)
+      fidelity ceiling, independent of the diffusion model; --swa
+      additionally tail-averages the last quarter of each trainer's
+      epochs (SWA, trainer.py) and samples the averaged weights — the
+      variance-reduction lever for the run-to-run gate noise)
 """
 
 import json
@@ -79,6 +82,16 @@ def train_seed():
     varies the trainers' noise/timestep draws."""
     seed, _ = parse_flag_value(sys.argv[1:], "--seed", default=1234)
     return seed
+
+
+def swa_overrides():
+    """``--swa``: SWA tail averaging over the last quarter of each
+    trainer's epochs (trainer.py ``_swa_update``; SWA_START_FRAC scales
+    with per-stage MAXEPOCH overrides) — the variance-reduction lever
+    for the measured run-to-run gate noise (docs/ROUND3.md: identical
+    ds2 configs span AUC 0.44–0.86).  Sampling then uses the tail
+    average via ``inference_weights()`` / composite ``inference_params``."""
+    return {"SWA_START_FRAC": 0.75} if "--swa" in sys.argv else {}
 
 
 def separations(ref, ref_e, gen, gen_e, nlayer_axis, include_occupancy=True):
@@ -192,8 +205,8 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
     trainer = TrainDiffusion(flags, cfg)
     t0 = time.time()
     model, params = trainer.train()
-    if trainer.ema_params is not None:  # sample from the EMA weights
-        params = trainer.ema_params
+    # SWA tail average if --swa, else EMA if on, else raw final weights
+    params = trainer.inference_weights()
     print(f"[{tag}] trained {epochs} epochs in {time.time()-t0:.0f}s",
           flush=True)
 
@@ -317,6 +330,7 @@ def hgcal_family(epochs):
         logE=False, MAXDEP=1.0, SHOWERSCALE=200.0, ECUT=0.0,
         BATCH=64, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
         CHECKPOINT_NAME="fidelity_hgcal",
+        **swa_overrides(),
     )
     ref, ref_e, gen, gen_e, gen_q, gen_rt = run_family(
         "hgcal", cfg, tmp, epochs, "hgcal_2.h5", "gen_info",
@@ -444,6 +458,7 @@ def ds1_family(epochs, particle="photon"):
         # FPD 0.66 -> 2.36) — 50 epochs is only ~2400 steps, so the EMA
         # is still dominated by early-training weights.  Leave EMA off.
         CHECKPOINT_NAME=f"fidelity_{tag}",
+        **swa_overrides(),
     )
     ref, ref_e, gen, gen_e, gen_q, gen_rt = run_family(
         tag, cfg, tmp, epochs, f_eval, "incident_energies",
@@ -529,6 +544,7 @@ def layer_family(epochs):
         # regressed, the step count here is well past the EMA horizon
         EMA_DECAY=0.999,
         CHECKPOINT_NAME="fidelity_cascade",
+        **swa_overrides(),
     )
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt",
                           seed=train_seed())
@@ -625,6 +641,10 @@ def main():
     enable_compile_cache()
 
     _, argv = parse_flag_value(sys.argv[1:], "--events")  # strip flag+value
+    # strip --seed's VALUE too: the space form ("--seed 777") would
+    # otherwise leak the bare number into the positional list and be
+    # parsed as the epoch count
+    _, argv = parse_flag_value(argv, "--seed")
     pos = [a for a in argv if not a.startswith("--")]
     epochs = None
     if pos and pos[0].isdigit():  # epochs may be omitted (family names only)
