@@ -208,6 +208,19 @@ class Train:
             scheduler, early_stopper, start_epoch, num_epochs,
             training_losses, val_losses,
         )
+        if self.swa_params is not None and self.swa_n == 0:
+            # SWA was configured but the start epoch was never reached
+            # (early stop / plateau never armed): inference will fall back
+            # to EMA/raw weights — say so instead of silently dropping the
+            # config's headline feature (ADVICE r3 medium)
+            print(
+                "WARNING: SWA was enabled but no epochs were averaged "
+                f"(swa_start={getattr(self, 'swa_start', -1)}, training "
+                f"ended at epoch {epoch}); inference will use "
+                f"{'EMA' if self.ema_params is not None else 'raw'} "
+                "weights. Lower SWA_START_EPOCH/SWA_START_FRAC or set "
+                "SWA_ARM_ON_PLATEAU.", flush=True,
+            )
         self._save("final", epoch, training_losses, val_losses, scheduler,
                    early_stopper)
         return self.model, self.params
@@ -252,9 +265,37 @@ class TrainDiffusion(Train):
             self.swa_start = int(
                 float(frac) * int(self.config.get("MAXEPOCH", 30))
             )
-        if self.swa_start >= 0:
+        # Arm SWA from the val-loss plateau as well: with EARLYSTOP active
+        # the run commonly ends long before SWA_START_FRAC*MAXEPOCH (e.g.
+        # MAXEPOCH=1000, stop ~epoch 150), which left swa_n == 0 and
+        # inference silently falling back to EMA.  When the early stopper
+        # is half way to firing, training *is* in its tail — start
+        # averaging there if the scheduled start hasn't been reached.
+        self.swa_arm_on_plateau = bool(
+            self.config.get("SWA_ARM_ON_PLATEAU", False)
+        )
+        if self.swa_start >= 0 or self.swa_arm_on_plateau:
             self.swa_params = jax.tree_util.tree_map(jnp.copy, self.params)
             self.swa_n = 0
+
+    def _swa_due(self, epoch, early_stopper):
+        """Whether this epoch's weights should fold into the SWA average.
+        With ``SWA_ARM_ON_PLATEAU``, the start epoch arms off the val-loss
+        plateau (early stopper half way to firing) when the scheduled
+        ``swa_start`` (if any) hasn't been reached — otherwise EARLYSTOP
+        commonly ends the run before SWA_START_FRAC*MAXEPOCH and the
+        average silently never accumulates (ADVICE r3 medium)."""
+        scheduled = getattr(self, "swa_start", -1) >= 0
+        if (getattr(self, "swa_arm_on_plateau", False)
+                and self.swa_n == 0
+                and not (scheduled and epoch >= self.swa_start)
+                and early_stopper.counter * 2 >= early_stopper.patience):
+            print(f"SWA: arming at epoch {epoch} (val-loss plateau: "
+                  f"early-stop counter {early_stopper.counter}/"
+                  f"{early_stopper.patience})", flush=True)
+            self.swa_start = epoch
+            scheduled = True
+        return scheduled and epoch >= self.swa_start
 
     def _swa_update(self):
         """Fold the current inference-preferred weights into the running
@@ -498,7 +539,7 @@ class TrainDiffusion(Train):
                 val_losses[epoch] = val_loss
                 print(f"val_loss: {val_loss}", flush=True)
 
-            if getattr(self, "swa_start", -1) >= 0 and epoch >= self.swa_start:
+            if self._swa_due(epoch, early_stopper):
                 self._swa_update()
 
             # quirk preserved: the plateau scheduler steps on the TRAIN loss
@@ -509,10 +550,21 @@ class TrainDiffusion(Train):
             )
 
             if val_loss < min_validation_loss and self.save_model:
+                # carry EMA/SWA alongside raw params (+ swa_n sidecar) so
+                # loading best_val through inference_params honors the
+                # documented SWA > EMA > raw preference (ADVICE r3 low)
+                arrays = {"params": self.params}
+                if self.ema_params is not None:
+                    arrays["ema_params"] = self.ema_params
+                if self.swa_params is not None and self.swa_n > 0:
+                    arrays["swa_params"] = self.swa_params
                 ckpt_io.save_arrays(
                     os.path.join(self.checkpoint_folder, "best_val.ckpt"),
-                    {"params": self.params},
+                    arrays,
                 )
+                with open(os.path.join(self.checkpoint_folder,
+                                       "best_val_state.json"), "w") as f:
+                    json.dump({"epoch": epoch, "swa_n": int(self.swa_n)}, f)
                 min_validation_loss = val_loss
 
             if early_stopper.early_stop(val_loss):

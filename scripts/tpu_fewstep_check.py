@@ -135,6 +135,10 @@ def main():
         EMA_DECAY=0.999,  # sample from EMA weights, as tpu_fidelity_check
         CHECKPOINT_NAME="fewstep",
         ECUT=fid.ECUT_RAW_MEV * 1e-3,
+        # --swa: SWA tail averaging over the last quarter of the teacher's
+        # epochs (same override as tpu_fidelity_families.swa_overrides —
+        # previously documented but not wired, so --swa was a silent no-op)
+        **({"SWA_START_FRAC": 0.75} if "--swa" in sys.argv else {}),
     )
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt",
                           seed=seed)
@@ -143,8 +147,8 @@ def main():
     model, params = trainer.train()
     # EMA averages late-training weight noise out; the raw final-step
     # weights measured AUC 0.77 where the EMA weights of the identical
-    # run measured 0.44 (tpu_fidelity_check.py history).  SWA tail
-    # averaging (SWA_START_FRAC/--swa) stacks on top when enabled.
+    # run measured 0.44 (tpu_fidelity_check.py history).  --swa stacks
+    # SWA tail averaging on top (wired into the cfg above).
     params = trainer.inference_weights()
     print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
 

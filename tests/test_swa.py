@@ -151,6 +151,83 @@ def test_inference_params_skips_unaccumulated_swa(tmp_path):
     np.testing.assert_array_equal(got["w"], np.ones(3))
 
 
+def test_swa_arms_on_plateau(tmp_path):
+    """With SWA_ARM_ON_PLATEAU, the start epoch arms when the early
+    stopper is half way to firing, even with no scheduled start."""
+    from calodiffusion_tpu.train.schedulers import EarlyStopper
+
+    t = _trainer(tmp_path, SWA_ARM_ON_PLATEAU=True)
+    t.init_model()
+    assert t.swa_params is not None and t.swa_start < 0
+
+    es = EarlyStopper(patience=4, mode="val_loss")
+    es.counter = 1
+    assert not t._swa_due(7, es)          # not yet on plateau
+    es.counter = 2                        # half way to firing
+    assert t._swa_due(7, es)
+    assert t.swa_start == 7
+    t._swa_update()
+    es.counter = 0                        # val improved again later...
+    assert t._swa_due(8, es)              # ...but SWA stays armed
+
+
+def test_swa_plateau_does_not_preempt_scheduled_start(tmp_path):
+    """A scheduled start that has already engaged wins over re-arming."""
+    from calodiffusion_tpu.train.schedulers import EarlyStopper
+
+    t = _trainer(tmp_path, SWA_START_EPOCH=3, SWA_ARM_ON_PLATEAU=True)
+    t.init_model()
+    es = EarlyStopper(patience=4, mode="val_loss")
+    es.counter = 4
+    assert not t._swa_due(1, es) or t.swa_start <= 1  # may arm early
+    # past the scheduled start: due regardless of the counter
+    t2 = _trainer(tmp_path, SWA_START_EPOCH=3, SWA_ARM_ON_PLATEAU=True)
+    t2.init_model()
+    es.counter = 0
+    assert t2._swa_due(3, es) and t2.swa_start == 3
+
+
+def test_swa_never_engaged_warns(tmp_path, capsys):
+    """SWA configured but start never reached: training ends with a loud
+    warning instead of silently falling back to EMA (ADVICE r3 medium)."""
+    _make_data(tmp_path)
+    from calodiffusion_tpu.train.trainer import TrainDiffusion
+    from calodiffusion_tpu.utils.config import default_flags
+
+    flags = default_flags(
+        data_folder=str(tmp_path), checkpoint_folder=str(tmp_path / "ckpt")
+    )
+    t = TrainDiffusion(flags, _tiny_cfg(SWA_START_EPOCH=50, MAXEPOCH=1))
+    t.train()
+    assert t.swa_n == 0
+    out = capsys.readouterr().out
+    assert "WARNING: SWA was enabled but no epochs were averaged" in out
+
+
+def test_best_val_carries_inference_weights(tmp_path):
+    """best_val.ckpt carries EMA/SWA arrays + swa_n sidecar so loading it
+    honors the SWA > EMA > raw preference (ADVICE r3 low)."""
+    _make_data(tmp_path)
+    from calodiffusion_tpu.train import checkpoint as ckpt_io
+    from calodiffusion_tpu.train.trainer import TrainDiffusion
+    from calodiffusion_tpu.utils.config import default_flags
+
+    flags = default_flags(
+        data_folder=str(tmp_path), checkpoint_folder=str(tmp_path / "ckpt")
+    )
+    t = TrainDiffusion(
+        flags, _tiny_cfg(SWA_START_EPOCH=0, EMA_DECAY=0.99, MAXEPOCH=1)
+    )
+    t.train()
+    assert t.swa_n == 1
+    arrays, host = ckpt_io.load_checkpoint(t.checkpoint_folder, "best_val")
+    assert host["swa_n"] == 1
+    assert "ema_params" in arrays and "swa_params" in arrays
+    picked = ckpt_io.inference_params(arrays, host)
+    for got, exp in zip(_leaves(picked), _leaves(t.swa_params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
 def test_shipped_swa_config():
     import json
 
@@ -163,6 +240,10 @@ def test_shipped_swa_config():
     assert cfg["SWA_START_FRAC"] == 0.75
     assert cfg["EMA_DECAY"] == 0.999  # SWA averages the EMA trajectory
     assert cfg["CHECKPOINT_NAME"].endswith("_swa")
+    # EARLYSTOP=20 commonly ends the run long before 0.75*MAXEPOCH; the
+    # plateau arming is what guarantees the config's headline feature
+    # actually engages (ADVICE r3 medium)
+    assert cfg["SWA_ARM_ON_PLATEAU"] is True
 
 
 @pytest.mark.slow  # two CLI-level training runs (~2 min)
