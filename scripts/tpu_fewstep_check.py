@@ -12,12 +12,24 @@ best-of-3).  Results land in fidelity_report.json under fewstep_* keys
 and bench.py surfaces the fastest candidate that passes the gate.
 
 Run: python scripts/tpu_fewstep_check.py [epochs] [--int8] [--distill[=N]]
+     [--workdir=PATH] [--seed N] [--swa]
 
 --distill additionally consistency-distills the trained model
 (train/train_distill.py, N distill epochs, default 400) and adds
 Consistency@{1,2,4}-step candidates generated from the student's EMA
 target network — the same fidelity gate decides whether 1-4 U-Net-eval
 generation is production-ready.
+
+--int8 ADDITIONALLY evaluates every candidate with W8A8 int8 sampling
+from the same weights and records it under fewstep_int8_* (the bf16
+record stays; previously --int8 replaced it).
+
+--workdir=PATH makes the run crash-resumable: data + checkpoints live in
+PATH instead of a throwaway tempdir, and both the teacher training and
+the (~80 min) distillation phase resume from their per-epoch Orbax
+checkpoints on rerun (two round-3 runs died mid-distillation and lost
+everything; VERDICT r3 #3).  A changed (epochs, seed, distill) setup in
+an existing workdir is an error, not a silent mix.
 """
 
 import json
@@ -119,13 +131,48 @@ def main():
     # with EMA is the cascade family's measured variance-reduction recipe
     epochs = int(pos[0]) if pos else 200
 
-    tmp = tempfile.mkdtemp()
+    distill_arg = next((a for a in sys.argv if a.startswith("--distill")),
+                       None)
+
+    # --workdir=PATH: crash-resumable run (see module docstring).  The
+    # setup fingerprint guards against silently mixing checkpoints from a
+    # different (epochs, seed, distill) configuration.
+    workdir = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--workdir=")),
+        None,
+    )
+    if workdir:
+        tmp = os.path.abspath(workdir)
+        os.makedirs(tmp, exist_ok=True)
+        meta = {"epochs": epochs, "seed": seed,
+                "distill": distill_arg, "swa": "--swa" in sys.argv}
+        meta_path = os.path.join(tmp, "harness_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+            if old != meta:
+                raise SystemExit(
+                    f"workdir {tmp} was set up with {old}, rerun asked for "
+                    f"{meta}; use a fresh --workdir"
+                )
+            print(f"resuming in workdir {tmp}", flush=True)
+        else:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+    else:
+        tmp = tempfile.mkdtemp()
+
     rng = np.random.default_rng(0)
-    for fname, n in (("dataset_2_1.hdf5", 8192), ("dataset_2_2.hdf5", 2048)):
-        showers, e_inc = fid.synth_showers(n, rng)
-        with h5py.File(os.path.join(tmp, fname), "w") as f:
-            f.create_dataset("showers", data=showers)
-            f.create_dataset("incident_energies", data=e_inc)
+    file_spec = (("dataset_2_1.hdf5", 8192), ("dataset_2_2.hdf5", 2048))
+    # skip only if ALL files exist (the rng stream is shared across them,
+    # so partial regeneration would silently change the later files)
+    if not (workdir and all(os.path.exists(os.path.join(tmp, f))
+                            for f, _ in file_spec)):
+        for fname, n in file_spec:
+            showers, e_inc = fid.synth_showers(n, rng)
+            with h5py.File(os.path.join(tmp, fname), "w") as f:
+                f.create_dataset("showers", data=showers)
+                f.create_dataset("incident_energies", data=e_inc)
 
     cfg = tiny_ds2_config(
         VAL_FILES=["dataset_2_2.hdf5"], EVAL=["dataset_2_2.hdf5"],
@@ -141,7 +188,7 @@ def main():
         **({"SWA_START_FRAC": 0.75} if "--swa" in sys.argv else {}),
     )
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt",
-                          seed=seed)
+                          seed=seed, load=bool(workdir))
     trainer = TrainDiffusion(flags, cfg)
     t0 = time.time()
     model, params = trainer.train()
@@ -156,22 +203,23 @@ def main():
         ref = f["showers"][:] * 0.001  # SHOWERSCALE
         ref_e = f["incident_energies"][:] * 0.001
 
-    if "--int8" in sys.argv:
+    want_int8 = "--int8" in sys.argv
+    if want_int8:
         model.config["QUANT_INT8"] = True
         if not model.int8_sampling_enabled():
             print("int8 requested but not allowed on this backend", flush=True)
-            model.config["QUANT_INT8"] = False
-        # calibration happens lazily in generate() on the first real batch
+            want_int8 = False
+        model.config["QUANT_INT8"] = False
 
-    distill_arg = next((a for a in sys.argv if a.startswith("--distill")),
-                       None)
     student_params = None
-    results = {}
-    speeds = {}
-    baseline = None  # 400-step DDim from the same weights, for reference
+    # per-mode accumulators: --int8 records an ADDITIONAL int8 pass under
+    # fewstep_int8_* from the same weights; the bf16 record always exists
+    results = {"bf16": {}, "int8": {}}
+    speeds = {"bf16": {}, "int8": {}}
+    baseline = {}  # mode -> 400-step DDim seps from the same weights
 
-    def eval_candidates(cand_list):
-        nonlocal baseline
+    def eval_candidates(cand_list, mode):
+        model.config["QUANT_INT8"] = mode == "int8"
         for sampler_name, steps in cand_list:
             tag = f"{sampler_name}_{steps}"
             eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
@@ -181,8 +229,7 @@ def main():
                 student_params if sampler_name == "Consistency" else params
             )
             if (sampler_name == "Consistency"
-                    and model.config.get("QUANT_INT8")
-                    and model.int8_sampling_enabled()):
+                    and mode == "int8"):
                 # invalidate so generate() re-calibrates for the student
                 # weights (lazily, on the first real batch's conditioning)
                 model._int8_scales = None
@@ -205,25 +252,27 @@ def main():
             # sampler-step verdict decoupled from the teacher run's
             # absolute quality: no degradation vs the 400-step baseline
             # beyond noise
-            rel_ok = ok_hist and have_sharp and baseline is not None and (
+            base = baseline.get(mode)
+            rel_ok = ok_hist and have_sharp and base is not None and (
                 seps["classifier_auc"]
-                <= baseline.get("classifier_auc", AUC_MAX) + REL_AUC_DELTA
+                <= base.get("classifier_auc", AUC_MAX) + REL_AUC_DELTA
             ) and (
                 seps["fpd"]
-                <= baseline.get("fpd", FPD_MAX) + REL_FPD_DELTA
+                <= base.get("fpd", FPD_MAX) + REL_FPD_DELTA
             )
-            results[tag] = {"seps": seps, "ok": ok, "rel_ok": rel_ok,
-                            "gen_s": gen_t}
+            results[mode][tag] = {"seps": seps, "ok": ok, "rel_ok": rel_ok,
+                                  "gen_s": gen_t}
             if sampler_name == "DDim" and steps == 400:
-                baseline = seps
-            print(f"[{tag}] ok={ok} rel_ok={rel_ok} "
+                baseline[mode] = seps
+            print(f"[{mode}:{tag}] ok={ok} rel_ok={rel_ok} "
                   f"Etot={seps['Etot']:.4f} "
                   f"ERatio={seps['ERatio']:.4f} "
                   f"auc={seps.get('classifier_auc', float('nan')):.3f} "
                   f"fpd={seps.get('fpd', float('nan')):.4f} "
                   f"({gen_t:.0f}s generate)", flush=True)
+        model.config["QUANT_INT8"] = False
 
-    def measure_speeds(cand_list):
+    def measure_speeds(cand_list, mode):
         # throughput at each candidate's step count (random weights -
         # bench.py methodology; throughput is architecture/step-count
         # determined)
@@ -231,24 +280,32 @@ def main():
             c = dict(cfg)
             c["SAMPLER"] = sampler_name
             c.pop("CHECKPOINT_NAME", None)
-            if model.config.get("QUANT_INT8"):
+            if mode == "int8":
                 c["QUANT_INT8"] = True
             val, _ = bench.measure_sampling(c, batch=128, num_steps=steps)
-            speeds[f"{sampler_name}_{steps}"] = val
-            print(f"[{sampler_name}_{steps}] {val:.1f} showers/sec",
+            speeds[mode][f"{sampler_name}_{steps}"] = val
+            print(f"[{mode}:{sampler_name}_{steps}] {val:.1f} showers/sec",
                   flush=True)
+
+    def report(mode):
+        write_report(results[mode], speeds[mode], baseline.get(mode),
+                     int8=mode == "int8")
+
+    modes = ["bf16"] + (["int8"] if want_int8 else [])
 
     # The standard candidates are evaluated and REPORTED before the
     # (expensive, ~80 min) distillation phase starts: a truncated run
     # still lands fewstep_best instead of losing everything at the
     # finish line.
-    eval_candidates([("DDim", 400)] + list(CANDIDATES))
-    measure_speeds(CANDIDATES)
-    write_report(results, speeds, baseline,
-                 int8=bool(model.config.get("QUANT_INT8")))
+    for mode in modes:
+        eval_candidates([("DDim", 400)] + list(CANDIDATES), mode)
+        measure_speeds(CANDIDATES, mode)
+        report(mode)
 
     if distill_arg is not None:
-        # consistency distillation: teacher -> few-step student
+        # consistency distillation: teacher -> few-step student.  With
+        # --workdir the distiller resumes from its per-epoch Orbax
+        # checkpoint (flags.load), so a died run loses at most one epoch.
         from calodiffusion_tpu.train.train_distill import TrainDistillation
 
         d_epochs = int(distill_arg.split("=", 1)[1]) if "=" in distill_arg \
@@ -258,7 +315,8 @@ def main():
         t0 = time.time()
         distiller = TrainDistillation(
             default_flags(data_folder=tmp,
-                          checkpoint_folder=tmp + "/ckpt_cd"),
+                          checkpoint_folder=tmp + "/ckpt_cd",
+                          seed=seed, load=bool(workdir)),
             dcfg, teacher_params=params,
         )
         _, _ = distiller.train()
@@ -269,10 +327,10 @@ def main():
               flush=True)
         cons = [("Consistency", 1), ("Consistency", 2),
                 ("Consistency", 4)]
-        eval_candidates(cons)
-        measure_speeds(cons)
-        write_report(results, speeds, baseline,
-                     int8=bool(model.config.get("QUANT_INT8")))
+        for mode in modes:
+            eval_candidates(cons, mode)
+            measure_speeds(cons, mode)
+            report(mode)
 
 
 def write_report(results, speeds, baseline, int8=False):

