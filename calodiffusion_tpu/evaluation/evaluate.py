@@ -231,7 +231,11 @@ def fidelity_metrics(
         f_ref = shower_feature_matrix(ref, ref_e, nlayers, include_occupancy)
         f_gen = shower_feature_matrix(gen, gen_e, nlayers, include_occupancy)
     cls = classifier_metrics(f_ref, f_gen, key=key, epochs=epochs)
-    if cls["auc"] > 0.65:  # diagnostic: name the discriminating features
+    # diagnostic: name the discriminating features.  CALODIFF_FID_DIAG=1
+    # forces it regardless of the aggregate AUC — families sitting just
+    # UNDER the trigger (ds1 photons at 0.628, VERDICT r3 Weak #4) would
+    # otherwise never record a culprit.
+    if cls["auc"] > 0.65 or os.environ.get("CALODIFF_FID_DIAG") == "1":
         names = feature_names(f_ref.shape[1], include_occupancy)
         aucs = per_feature_auc(f_ref, f_gen)
         top = np.argsort(-np.abs(aucs - 0.5))[:5]

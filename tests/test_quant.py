@@ -116,6 +116,34 @@ def test_int8_transpose_optin_via_env(force_int8, monkeypatch):
     assert rel < 0.15, rel
 
 
+def test_quant_int8_exclude_filters_scale_table(force_int8):
+    """QUANT_INT8_EXCLUDE keeps matching convs in high precision: their
+    paths are dropped from the calibrated scales table, so scale_for()
+    returns None and the conv dispatches float (the per-conv fence from
+    the cascade int8 ablation, scripts/tpu_int8_cascade_ablation.py)."""
+    model, params, E, layers = _tiny_model()
+    model.config["QUANT_INT8"] = True
+    full = dict(model.prepare_int8(params, n_sigmas=2, batch=2))
+    assert any("ResnetBlock_0" in p for p in full)
+
+    model.config["QUANT_INT8_EXCLUDE"] = ["ResnetBlock_0/", "init_conv"]
+    filt = model.prepare_int8(params, n_sigmas=2, batch=2)
+    assert not any("ResnetBlock_0/" in p for p in filt)
+    kept = set(full) - set(filt)
+    assert kept and all("ResnetBlock_0/" in p or "init_conv" in p
+                        for p in kept)
+    # sampling with the filtered table still runs and stays close to float
+    out_q = model.sample(params, jax.random.PRNGKey(3), E, layers=layers,
+                         num_steps=8)
+    model.config["QUANT_INT8"] = False
+    out_f = model.sample(params, jax.random.PRNGKey(3), E, layers=layers,
+                         num_steps=8)
+    a, b = np.asarray(out_f), np.asarray(out_q)
+    assert np.isfinite(b).all()
+    rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+    assert rel < 0.15, rel
+
+
 def test_scales_from_stats_flattens_module_tree():
     stats = {
         "CondUnet_0": {
