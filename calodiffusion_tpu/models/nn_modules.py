@@ -90,7 +90,12 @@ class Conv3d(nn.Module):
                 )
             else:
                 sx = quant.scale_for("/".join(self.path))
-                if sx is not None:
+                if sx == quant.WEIGHT_ONLY:
+                    # W8A16 diagnostic mode: int8-dequantized weights,
+                    # full-precision activations/conv — isolates weight-
+                    # vs activation-quantization error (no MXU speedup)
+                    w = quant.dequantized_weight(w).astype(self.dtype)
+                elif sx is not None:
                     return quant.int8_conv3d(
                         x.astype(self.dtype), w, b, sx,
                         stride=self.stride, padding=self.padding,

@@ -124,6 +124,18 @@ def merge_stats(a: dict, b: dict) -> dict:
     return out
 
 
+# sentinel scale value: run the conv with int8-DEQUANTIZED weights but
+# full-precision activations (W8A16) — an accuracy diagnostic separating
+# weight- from activation-quantization error (models/nn_modules.Conv3d)
+WEIGHT_ONLY = "w8a16"
+
+
+def dequantized_weight(w):
+    """Fake-quantize: weights through the per-cout int8 grid and back."""
+    wq, sw = quantize_weight_per_cout(w)
+    return wq.astype(jnp.float32) * sw
+
+
 def quantize_weight_per_cout(w):
     """(k, k, k, cin, cout) float -> (int8 weights, f32 (cout,) scales)."""
     wf = w.astype(jnp.float32)

@@ -174,6 +174,14 @@ def main():
 
     results["int8_full"] = gen_and_score("int8_full", dict(full_table))
 
+    # W8A16: int8-dequantized weights, float activations — if this is
+    # clean, the damage is ACTIVATION quantization (static scales /
+    # saturation), not the weight grid
+    from calodiffusion_tpu.ops import quant
+    results["w8a16_all"] = gen_and_score(
+        "w8a16_all", {p: quant.WEIGHT_ONLY for p in full_table}
+    )
+
     n_res = len(cfg["LAYER_SIZE_UNET"]) - 1
     groups = conv_groups(full_table, n_res, mode=mode)
     print("groups:", {k: len(v) for k, v in groups.items()}, flush=True)

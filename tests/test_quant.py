@@ -144,6 +144,35 @@ def test_quant_int8_exclude_filters_scale_table(force_int8):
     assert rel < 0.15, rel
 
 
+def test_weight_only_w8a16_mode(force_int8):
+    """A WEIGHT_ONLY sentinel in the scales table runs the conv with
+    int8-dequantized weights and float activations — close to float at
+    weight-grid resolution, and different from both float and full W8A8
+    (the diagnostic that splits weight- from activation-quant error)."""
+    model, params, E, layers = _tiny_model()
+    model.config["QUANT_INT8"] = True
+    full = dict(model.prepare_int8(params, n_sigmas=2, batch=2))
+
+    model._int8_scales = {p: quant.WEIGHT_ONLY for p in full}
+    out_w = model.sample(params, jax.random.PRNGKey(3), E, layers=layers,
+                         num_steps=8)
+    model.config["QUANT_INT8"] = False
+    out_f = model.sample(params, jax.random.PRNGKey(3), E, layers=layers,
+                         num_steps=8)
+    a, b = np.asarray(out_f), np.asarray(out_w)
+    assert np.isfinite(b).all()
+    rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+    assert 0 < rel < 0.05, rel  # weight grid is fine; must not be exact
+
+
+def test_dequantized_weight_error_bounded():
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 3, 8, 16))
+    dq = quant.dequantized_weight(w)
+    err = np.max(np.abs(np.asarray(dq - w)))
+    step = float(np.max(np.abs(np.asarray(w)), axis=(0, 1, 2, 3)).max()) / 127
+    assert err <= step * 0.5 + 1e-7
+
+
 def test_scales_from_stats_flattens_module_tree():
     stats = {
         "CondUnet_0": {
