@@ -149,7 +149,40 @@ def main():
         return seps
 
     results = {}
+
+    def flush_results():
+        """Incremental write: a truncated run still records everything
+        measured so far (the r3 lesson: machinery without a recorded
+        result doesn't count)."""
+        out = os.path.join(ROOT, "docs", "INT8_CASCADE.md")
+        with open(out, "w") as f:
+            f.write(
+                "# int8 cascade ablation (scripts/tpu_int8_cascade_"
+                "ablation.py)\n\nTrained cascade weights from a "
+                "`tpu_fidelity_families.py layer` run; every row "
+                "generates the full synthetic eval set at 400-step DDIM "
+                "from the SAME weights, varying only which stage-2 U-Net "
+                "convs run W8A8 int8 (`excl_G` = group G restored to "
+                "bf16; `only_G` = group G alone int8; `w8a16_all` = "
+                "weights int8, activations float).  Gate: classifier "
+                "AUC <= 0.70, FPD <= 1.0.\n\n"
+                "| variant | AUC | JSD | FPD | Etot sep |\n"
+                "|---|---|---|---|---|\n"
+            )
+            for tag, s in results.items():
+                f.write(
+                    f"| {tag} | {s.get('classifier_auc', float('nan')):.3f} "
+                    f"| {s.get('classifier_jsd', float('nan')):.3f} "
+                    f"| {s.get('fpd', float('nan')):.3f} "
+                    f"| {s['Etot']:.4f} |\n"
+                )
+        with open(os.path.join(ROOT, "docs", "int8_cascade_ablation.json"),
+                  "w") as f:
+            json.dump({k: {kk: float(vv) for kk, vv in v.items()}
+                       for k, v in results.items()}, f, indent=1)
+
     results["bf16"] = gen_and_score("bf16", None)
+    flush_results()
 
     # full int8: calibrate once on the real conditioning (the same path
     # generate() uses lazily) and keep the full table around for variants
@@ -173,6 +206,7 @@ def main():
     print(f"calibrated {len(full_table)} convs", flush=True)
 
     results["int8_full"] = gen_and_score("int8_full", dict(full_table))
+    flush_results()
 
     # W8A16: int8-dequantized weights, float activations — if this is
     # clean, the damage is ACTIVATION quantization (static scales /
@@ -181,6 +215,7 @@ def main():
     results["w8a16_all"] = gen_and_score(
         "w8a16_all", {p: quant.WEIGHT_ONLY for p in full_table}
     )
+    flush_results()
 
     n_res = len(cfg["LAYER_SIZE_UNET"]) - 1
     groups = conv_groups(full_table, n_res, mode=mode)
@@ -191,36 +226,16 @@ def main():
         scales = {p: v for p, v in full_table.items()
                   if p not in set(groups[gname])}
         results[f"excl_{gname}"] = gen_and_score(f"excl_{gname}", scales)
+        flush_results()
 
     # single-group ONLY-quantized (inverse): which group alone breaks it?
     for gname in sorted(groups):
         scales = {p: v for p, v in full_table.items()
                   if p in set(groups[gname])}
         results[f"only_{gname}"] = gen_and_score(f"only_{gname}", scales)
+        flush_results()
 
-    out = os.path.join(ROOT, "docs", "INT8_CASCADE.md")
-    with open(out, "w") as f:
-        f.write(
-            "# int8 cascade ablation (scripts/tpu_int8_cascade_ablation"
-            ".py)\n\nTrained cascade weights from a "
-            "`tpu_fidelity_families.py layer` run; every row generates "
-            "the full synthetic eval set at 400-step DDIM from the SAME "
-            "weights, varying only which stage-2 U-Net convs run W8A8 "
-            "int8.  Gate: classifier AUC <= 0.70, FPD <= 1.0.\n\n"
-            "| variant | AUC | JSD | FPD | Etot sep |\n|---|---|---|---|---|\n"
-        )
-        for tag, s in results.items():
-            f.write(
-                f"| {tag} | {s.get('classifier_auc', float('nan')):.3f} "
-                f"| {s.get('classifier_jsd', float('nan')):.3f} "
-                f"| {s.get('fpd', float('nan')):.3f} "
-                f"| {s['Etot']:.4f} |\n"
-            )
-    with open(os.path.join(ROOT, "docs", "int8_cascade_ablation.json"),
-              "w") as f:
-        json.dump({k: {kk: float(vv) for kk, vv in v.items()}
-                   for k, v in results.items()}, f, indent=1)
-    print(f"wrote {out}", flush=True)
+    print("wrote docs/INT8_CASCADE.md", flush=True)
 
 
 if __name__ == "__main__":
