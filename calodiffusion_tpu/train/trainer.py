@@ -62,6 +62,7 @@ class Train:
 
         self.model: Optional[CaloDiffusion] = None
         self._device_cache = None
+        self._val_cache = None  # device-resident fixed val working set
         self._cache_epoch = 0
         self.params = None
         self.ema_params = None
@@ -509,29 +510,63 @@ class TrainDiffusion(Train):
 
             val_loss = 0.0
             if self.loader_val is not None:
-                val_losses_dev = []
-                for i, (vE, vlayers, vdata) in enumerate(self.loader_val):
-                    if i >= val_rnd.shape[0]:
-                        break
-                    self.rng, k = jax.random.split(self.rng)
-                    n_real = vE.shape[0]
-                    noise = jax.random.normal(k, vdata.shape, dtype=jnp.float32)
-                    if cold_diffu:
-                        noise = self.model.gen_cold_image(
-                            jnp.asarray(vE)[:, :1], cold_noise_scale, noise
+                # The whole val working set (batches + fixed noise + sigma
+                # draws + masks) is device-resident and FIXED across
+                # epochs: reference parity (train_diffusion.py:29-31 keeps
+                # the val noise constant for a stable val loss) and, over
+                # remote-TPU links, the per-epoch re-upload otherwise
+                # costs ~10s/epoch on a 1.5k-event val set.
+                if self._val_cache is None:
+                    cache = []
+                    for i, (vE, vlayers, vdata) in enumerate(self.loader_val):
+                        if i >= val_rnd.shape[0]:
+                            break
+                        self.rng, k = jax.random.split(self.rng)
+                        n_real = vE.shape[0]
+                        noise = jax.random.normal(
+                            k, vdata.shape, dtype=jnp.float32
                         )
-                    rnd = val_rnd[i][:n_real]
-                    vE_d, vlay_d, vdata_d = self._device_batch(vE, vlayers, vdata)
-                    n_pad = vdata_d.shape[0] - n_real
-                    rnd = jnp.pad(rnd, (0, n_pad))
-                    noise = jnp.pad(
-                        noise, [(0, n_pad)] + [(0, 0)] * (noise.ndim - 1)
-                    )
-                    mask = jnp.pad(jnp.ones(n_real, jnp.float32), (0, n_pad))
-                    val_losses_dev.append(val_step(
+                        if cold_diffu:
+                            noise = self.model.gen_cold_image(
+                                jnp.asarray(vE)[:, :1], cold_noise_scale,
+                                noise,
+                            )
+                        rnd = val_rnd[i][:n_real]
+                        vE_d, vlay_d, vdata_d = self._device_batch(
+                            vE, vlayers, vdata
+                        )
+                        n_pad = vdata_d.shape[0] - n_real
+                        rnd = jnp.pad(rnd, (0, n_pad))
+                        noise = jnp.pad(
+                            noise, [(0, n_pad)] + [(0, 0)] * (noise.ndim - 1)
+                        )
+                        mask = jnp.pad(
+                            jnp.ones(n_real, jnp.float32), (0, n_pad)
+                        )
+                        noise_d, rnd_d, mask_d = (
+                            jax.device_put(a) for a in (noise, rnd, mask)
+                        )
+                        cache.append(
+                            (vdata_d, vE_d, vlay_d, noise_d, rnd_d, mask_d)
+                        )
+                    if self.config.get("CACHE_DATA_ON_DEVICE", "auto") is False:
+                        # honor the explicit opt-out: evaluate this epoch
+                        # from the built list but rebuild (re-upload) next
+                        # epoch with the SAME fixed noise/rnd draws?  No —
+                        # semantics must not depend on the cache flag, so
+                        # keep the fixed working set host-side instead.
+                        cache = [tuple(jax.device_get(t) if t is not None
+                                       else None for t in b) for b in cache]
+                    self._val_cache = cache
+                val_losses_dev = [
+                    val_step(
                         self.params, vdata_d, vE_d,
-                        vlay_d if layer_cond else None, noise, rnd, mask,
-                    ))
+                        vlay_d if layer_cond else None, noise_d, rnd_d,
+                        mask_d,
+                    )
+                    for vdata_d, vE_d, vlay_d, noise_d, rnd_d, mask_d
+                    in self._val_cache
+                ]
                 val_loss = (
                     float(jnp.mean(jnp.stack(val_losses_dev)))
                     if val_losses_dev else 0.0
