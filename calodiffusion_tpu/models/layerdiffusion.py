@@ -138,6 +138,18 @@ class LayerDiffusion(CaloDiffusion):
     def prepare_int8(self, params, **kw):
         """int8 calibration runs on the shower U-Net only (the layer
         ResNet has no convolutions)."""
+        if not self.config.get("QUANT_INT8_EXCLUDE"):
+            # measured fence (docs/INT8_CASCADE.md): on the two-stage
+            # cascade, DOWN-path activation quantization alone moves the
+            # fidelity classifier AUC 0.70 -> 0.86 (weight quantization
+            # is clean); excluding the down path restores the gate
+            print(
+                "WARNING: QUANT_INT8 on the layer cascade without "
+                "QUANT_INT8_EXCLUDE — down-path activation quantization "
+                "measurably breaks cascade fidelity (docs/INT8_CASCADE"
+                ".md).  Set QUANT_INT8_EXCLUDE, e.g. the down path "
+                "(ResnetBlock_0..5 + the downsample convs).", flush=True,
+            )
         base = params["base_model"] if isinstance(params, dict) and \
             "base_model" in params else params
         return super().prepare_int8(base, **kw)

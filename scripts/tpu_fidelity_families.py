@@ -543,6 +543,15 @@ def layer_family(epochs):
         # weight noise out — unlike ds1's 2400-step run where EMA
         # regressed, the step count here is well past the EMA horizon
         EMA_DECAY=0.999,
+        # int8 fence (docs/INT8_CASCADE.md, measured per-group ablation):
+        # DOWN-path activation quantization alone reproduces the
+        # cascade's int8 fidelity failure (only_down AUC 0.841 vs full
+        # 0.856, bf16 0.696; weight-only w8a16 is clean at 0.694).
+        # Restoring the down path to bf16 passes the gate at AUC 0.666.
+        QUANT_INT8_EXCLUDE=(
+            [f"ResnetBlock_{i}/" for i in range(6)]
+            + ["CondUnet_0/Conv3d_0", "CondUnet_0/Conv3d_1"]
+        ),
         CHECKPOINT_NAME="fidelity_cascade",
         **swa_overrides(),
     )

@@ -94,3 +94,28 @@ def test_sample_with_given_layers_skips_stage1(layer_model, monkeypatch):
     assert out["x"].shape == (2, 1, 45, 16, 9)
     np.testing.assert_allclose(np.asarray(out["layers"]), layers, rtol=1e-6)
     assert np.all(np.isfinite(out["x"]))
+
+
+def test_int8_without_exclude_warns(layer_model, capsys, monkeypatch):
+    """QUANT_INT8 on the cascade without QUANT_INT8_EXCLUDE prints the
+    measured-fence warning (docs/INT8_CASCADE.md: down-path activation
+    quantization moves the fidelity AUC 0.70 -> 0.86); with the exclusion
+    set it stays quiet and the excluded paths leave the scales table."""
+    monkeypatch.setenv("CALODIFF_INT8", "force")
+    cfg, model, params = layer_model
+    model.config["QUANT_INT8"] = True
+    try:
+        full = model.prepare_int8(params, n_sigmas=1, batch=1)
+        out = capsys.readouterr().out
+        assert "QUANT_INT8_EXCLUDE" in out and "INT8_CASCADE" in out
+
+        model.config["QUANT_INT8_EXCLUDE"] = ["ResnetBlock_0/"]
+        filt = model.prepare_int8(params, n_sigmas=1, batch=1)
+        out = capsys.readouterr().out
+        assert "WARNING" not in out
+        assert set(full) - set(filt)
+        assert not any("ResnetBlock_0/" in p for p in filt)
+    finally:
+        model.config["QUANT_INT8"] = False
+        model.config.pop("QUANT_INT8_EXCLUDE", None)
+        model._int8_scales = None
