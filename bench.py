@@ -88,6 +88,50 @@ def chip_peak_flops(precision: str) -> float | None:
     return peak
 
 
+def compact_fidelity_extras(fid: dict) -> dict:
+    """The fidelity keys that ride in the one-line bench JSON: per-family
+    gate booleans + headline classifier AUCs + fewstep bests.  Everything
+    else stays in fidelity_report.json — the driver records only the
+    output tail, so this selection is what keeps BENCH_rN parseable
+    (round 3's full ~90-key dump overflowed the capture and the round's
+    numbers were lost).  Unit-pinned by tests/test_bench_line.py."""
+    extras = {}
+    extras["separation_power_etot"] = fid.get("Etot")
+    extras["fidelity_ok"] = fid.get("ok")
+    if "int8_ok" in fid:  # QUANT_INT8 accuracy gate (same weights)
+        extras["int8_fidelity_ok"] = fid.get("int8_ok")
+    extras["auc_ds2"] = fid.get("classifier_auc")
+    extras["auc_ds2_int8"] = fid.get("int8_classifier_auc")
+    for fam in ("hgcal", "ds1", "ds1pion", "layer"):
+        for k_in, k_out in ((f"{fam}_ok", f"{fam}_ok"),
+                            (f"{fam}_int8_ok", f"{fam}_int8_ok"),
+                            (f"{fam}_classifier_auc", f"auc_{fam}"),
+                            (f"{fam}_int8_classifier_auc",
+                             f"auc_{fam}_int8")):
+            if k_in in fid:
+                extras[k_out] = fid[k_in]
+    # few-step production sampling (scripts/tpu_fewstep_check.py):
+    # fastest (sampler, steps) that passed the same fidelity gate
+    for pfx in ("fewstep", "fewstep_int8"):
+        if fid.get(f"{pfx}_best"):
+            extras[f"{pfx}_best"] = fid[f"{pfx}_best"]
+            extras[f"{pfx}_best_showers_per_sec"] = (
+                fid[f"{pfx}_best_showers_per_sec"]
+            )
+            extras[f"{pfx}_best_auc"] = fid.get(
+                f"{pfx}_{fid[f'{pfx}_best']}_classifier_auc"
+            )
+        if fid.get(f"{pfx}_best_rel"):
+            # fastest candidate that matches the 400-step baseline from
+            # the same weights within metric noise (the teacher-quality-
+            # independent sampler verdict)
+            extras[f"{pfx}_best_rel"] = fid[f"{pfx}_best_rel"]
+            extras[f"{pfx}_best_rel_showers_per_sec"] = (
+                fid.get(f"{pfx}_best_rel_showers_per_sec")
+            )
+    return extras
+
+
 def _base_config(**overrides):
     cfg = {
         "DATASET_NUM": 2,
@@ -424,41 +468,7 @@ def main():
         with open(rep) as f:
             fid = json.load(f)
         log("fidelity_report.json (full detail): " + json.dumps(fid))
-        extras["separation_power_etot"] = fid.get("Etot")
-        extras["fidelity_ok"] = fid.get("ok")
-        if "int8_ok" in fid:  # QUANT_INT8 accuracy gate (same weights)
-            extras["int8_fidelity_ok"] = fid.get("int8_ok")
-        # per-family gate booleans + classifier AUC (0.5 = chance), the
-        # sharpest single number per family
-        extras["auc_ds2"] = fid.get("classifier_auc")
-        extras["auc_ds2_int8"] = fid.get("int8_classifier_auc")
-        for fam in ("hgcal", "ds1", "ds1pion", "layer"):
-            for k_in, k_out in ((f"{fam}_ok", f"{fam}_ok"),
-                                (f"{fam}_int8_ok", f"{fam}_int8_ok"),
-                                (f"{fam}_classifier_auc", f"auc_{fam}"),
-                                (f"{fam}_int8_classifier_auc",
-                                 f"auc_{fam}_int8")):
-                if k_in in fid:
-                    extras[k_out] = fid[k_in]
-        # few-step production sampling (scripts/tpu_fewstep_check.py):
-        # fastest (sampler, steps) that passed the same fidelity gate
-        for pfx in ("fewstep", "fewstep_int8"):
-            if fid.get(f"{pfx}_best"):
-                extras[f"{pfx}_best"] = fid[f"{pfx}_best"]
-                extras[f"{pfx}_best_showers_per_sec"] = (
-                    fid[f"{pfx}_best_showers_per_sec"]
-                )
-                extras[f"{pfx}_best_auc"] = fid.get(
-                    f"{pfx}_{fid[f'{pfx}_best']}_classifier_auc"
-                )
-            if fid.get(f"{pfx}_best_rel"):
-                # fastest candidate that matches the 400-step baseline
-                # from the same weights within metric noise (the
-                # teacher-quality-independent sampler verdict)
-                extras[f"{pfx}_best_rel"] = fid[f"{pfx}_best_rel"]
-                extras[f"{pfx}_best_rel_showers_per_sec"] = (
-                    fid.get(f"{pfx}_best_rel_showers_per_sec")
-                )
+        extras.update(compact_fidelity_extras(fid))
 
     try:
         from bench_baselines.reference_torch import measure_reference_cpu
