@@ -12,7 +12,7 @@ best-of-3).  Results land in fidelity_report.json under fewstep_* keys
 and bench.py surfaces the fastest candidate that passes the gate.
 
 Run: python scripts/tpu_fewstep_check.py [epochs] [--int8] [--distill[=N]]
-     [--workdir=PATH] [--seed N] [--swa]
+     [--workdir=PATH] [--seed N] [--swa] [--events N]
 
 --distill additionally consistency-distills the trained model
 (train/train_distill.py, N distill epochs, default 400) and adds
@@ -84,6 +84,21 @@ REL_AUC_DELTA = 0.05
 REL_FPD_DELTA = 0.25
 
 
+def _parse_events(argv, default=32768):
+    """Extract ``--events N`` / ``--events=N``; returns (n, remaining)."""
+    argv = list(argv)
+    if "--events" in argv:
+        i = argv.index("--events")
+        n = int(argv[i + 1])
+        del argv[i:i + 2]
+        return n, argv
+    for i, a in enumerate(argv):
+        if a.startswith("--events="):
+            del argv[i]
+            return int(a.split("=", 1)[1]), argv
+    return default, argv
+
+
 def parse_seed(argv, default=1234):
     """Extract ``--seed N`` / ``--seed=N`` from an argv list.
 
@@ -123,6 +138,13 @@ def main():
     # run-to-run variant (AUC 0.44 vs 0.78+ across draws), so a failed
     # teacher can be re-rolled without touching the data or the config
     seed, argv = parse_seed(sys.argv[1:])
+    # --events N: training-corpus size.  The teacher's near-threshold
+    # occupancy calibration is corpus-limited as well as seed-variant:
+    # at 8192 events two teachers (plain EMA and EMA+SWA, seed 1234)
+    # measured AUC 0.82 at 400 steps, while the cascade family's
+    # 32768-event recipe at the same optimizer-step count passed at
+    # 0.696 — synthetic data is free, so default to the proven corpus.
+    n_events, argv = _parse_events(argv)
     pos = [a for a in argv if not a.startswith("--")]
     # 200 teacher epochs: the baseline's classifier AUC is variance-prone
     # across shorter runs (measured 0.44 @40 vs 0.86 @80 for identical
@@ -144,7 +166,7 @@ def main():
     if workdir:
         tmp = os.path.abspath(workdir)
         os.makedirs(tmp, exist_ok=True)
-        meta = {"epochs": epochs, "seed": seed,
+        meta = {"epochs": epochs, "seed": seed, "events": n_events,
                 "distill": distill_arg, "swa": "--swa" in sys.argv}
         meta_path = os.path.join(tmp, "harness_meta.json")
         if os.path.exists(meta_path):
@@ -163,7 +185,7 @@ def main():
         tmp = tempfile.mkdtemp()
 
     rng = np.random.default_rng(0)
-    file_spec = (("dataset_2_1.hdf5", 8192), ("dataset_2_2.hdf5", 2048))
+    file_spec = (("dataset_2_1.hdf5", n_events), ("dataset_2_2.hdf5", 2048))
     # skip only if ALL files exist (the rng stream is shared across them,
     # so partial regeneration would silently change the later files)
     if not (workdir and all(os.path.exists(os.path.join(tmp, f))
