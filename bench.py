@@ -452,6 +452,26 @@ def main():
                         log(f"{name} int8: {val:.2f} showers/sec @ batch {b}")
                     except Exception as e:
                         log(f"{name} int8 bench failed: {e}")
+                # int8 with the down-path accuracy fence
+                # (QUANT_INT8_EXCLUDE, docs/INT8_CASCADE.md): the
+                # configuration well-trained models need — record its
+                # throughput so the fence's speed cost is visible
+                try:
+                    cfg = _dataset_config("ds2", tmpdir)
+                    n_res = len(cfg["LAYER_SIZE_UNET"]) - 1
+                    cfg = dict(
+                        cfg, QUANT_INT8=True,
+                        QUANT_INT8_EXCLUDE=(
+                            [f"ResnetBlock_{i}/" for i in range(2 * n_res)]
+                            + [f"CondUnet_0/Conv3d_{i}"
+                               for i in range(n_res - 1)]
+                        ),
+                    )
+                    val, _ = measure_sampling(cfg, batch, num_steps, runs=1)
+                    fam["ds2_int8_fenced_showers_per_sec"] = round(val, 3)
+                    log(f"ds2 int8+fence: {val:.2f} showers/sec")
+                except Exception as e:
+                    log(f"ds2 int8+fence bench failed: {e}")
             extras.update(fam)
             with open(extras_cache, "w") as f:
                 json.dump(dict(fam, code_hash=chash, ts=time.time()), f,
