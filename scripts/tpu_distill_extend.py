@@ -88,8 +88,9 @@ def main():
         results[tag] = {k: float(v) for k, v in seps.items()}
         print(f"[{tag}] auc={seps.get('classifier_auc', float('nan')):.3f} "
               f"fpd={seps.get('fpd', float('nan')):.3f}", flush=True)
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        # incremental write: a timed-out run keeps its measured points
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
     print(f"wrote {out_path}", flush=True)
 
 
