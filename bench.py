@@ -43,15 +43,22 @@ def code_hash() -> str:
     """
     import hashlib
 
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "calodiffusion_tpu")
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.join(here, "calodiffusion_tpu")
     h = hashlib.sha256()
-    for sub in ("ops", "models", "samplers"):
-        d = os.path.join(root, sub)
-        for fn in sorted(os.listdir(d)):
+    # the WHOLE package plus bench.py itself: loader/preprocessing changes
+    # (and this file's own measurement code) must invalidate the cache too
+    # (ADVICE r4), not just ops/models/samplers
+    for d, _, files in sorted(os.walk(root)):
+        if "__pycache__" in d:
+            continue
+        for fn in sorted(files):
             if fn.endswith(".py"):
+                rel = os.path.relpath(os.path.join(d, fn), root)
                 with open(os.path.join(d, fn), "rb") as f:
-                    h.update(fn.encode() + b"\0" + f.read())
+                    h.update(rel.encode() + b"\0" + f.read())
+    with open(os.path.abspath(__file__), "rb") as f:
+        h.update(b"bench.py\0" + f.read())
     return h.hexdigest()[:16]
 
 
@@ -305,8 +312,13 @@ def measure_sampling(config, batch: int, num_steps: int, runs: int = 3,
     return batch / best, (flops, best) if flops else None
 
 
-def measure_train_step(config, batch: int, runs: int = 10) -> float:
-    """Jitted fwd+bwd+Adam samples/sec (the BASELINE.md training metric)."""
+def measure_train_step(config, batch: int, runs: int = 10,
+                       want_flops: bool = False):
+    """Jitted fwd+bwd+Adam samples/sec (the BASELINE.md training metric).
+
+    With ``want_flops`` also returns the train-step MFU from XLA cost
+    analysis of the compiled step (fwd+bwd+Adam — the same methodology as
+    the sampling MFU; VERDICT r4 #7: track "A100 parity" by a number)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -320,7 +332,8 @@ def measure_train_step(config, batch: int, runs: int = 10) -> float:
 
     shape = [batch] + list(config["SHAPE_PAD"][1:])
     data = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
-    E = jax.random.uniform(jax.random.PRNGKey(2), (batch, 1))
+    n_cond = 3 if config.get("HGCAL") else 1
+    E = jax.random.uniform(jax.random.PRNGKey(2), (batch, n_cond))
     layers = jax.random.normal(
         jax.random.PRNGKey(3), (batch, config["SHAPE_FINAL"][2] + 1)
     )
@@ -335,9 +348,20 @@ def measure_train_step(config, batch: int, runs: int = 10) -> float:
 
     from calodiffusion_tpu.ops.pallas_linear_attention import training_trace
 
+    step_flops = None
     with training_trace():  # gradient trace: fused Pallas attention fwd+bwd
         # (default since the block backward kernel landed;
         # CALODIFF_FUSED_ATTN=fwdonly restores the unfused XLA chain)
+        if want_flops:
+            try:
+                cost = step.lower(
+                    params, opt_state, jax.random.PRNGKey(4)
+                ).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                step_flops = float(cost.get("flops", 0.0)) or None
+            except Exception as e:
+                log(f"train cost analysis unavailable: {e}")
         params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(4))
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
@@ -348,7 +372,15 @@ def measure_train_step(config, batch: int, runs: int = 10) -> float:
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / runs
     log(f"train step: {dt * 1e3:.1f} ms @ batch {batch}")
-    return batch / dt
+    if not want_flops:
+        return batch / dt
+    mfu = None
+    peak = chip_peak_flops(config.get("PRECISION", "bf16"))
+    if step_flops and peak:
+        mfu = step_flops / dt / peak
+        log(f"train-step FLOPs {step_flops:.3e}, achieved "
+            f"{step_flops / dt / 1e12:.1f} TFLOP/s, train MFU {mfu * 100:.1f}%")
+    return batch / dt, mfu
 
 
 def main():
@@ -383,11 +415,13 @@ def main():
                 f"achieved {flops / best / 1e12:.1f} TFLOP/s  "
                 f"MFU {mfu * 100:.1f}%")
 
-    # training throughput
+    # training throughput + train-step MFU (same cost-analysis methodology
+    # as the sampling MFU)
     try:
-        extras["train_samples_per_sec"] = round(
-            measure_train_step(cfg2, batch), 1
-        )
+        t_sps, t_mfu = measure_train_step(cfg2, batch, want_flops=True)
+        extras["train_samples_per_sec"] = round(t_sps, 1)
+        if t_mfu is not None:
+            extras["train_mfu"] = round(t_mfu, 4)
     except Exception as e:
         log(f"train-step bench failed: {e}")
 
@@ -432,6 +466,17 @@ def main():
                     log(f"{name}: {val:.2f} showers/sec @ batch {b}")
                 except Exception as e:
                     log(f"{name} bench failed: {e}")
+            # per-family TRAIN throughput (VERDICT r4 #7).  ds3 trains at
+            # its shipped config batch (64 — the full-res activation
+            # working set at batch 128 exceeds HBM in the backward pass).
+            for name, b in (("ds1", 512), ("ds3", 64), ("hgcal", 128)):
+                try:
+                    cfg = _dataset_config(name, tmpdir)
+                    val = measure_train_step(cfg, b, runs=5)
+                    fam[f"{name}_train_samples_per_sec"] = round(val, 1)
+                    log(f"{name} train: {val:.1f} samples/sec @ batch {b}")
+                except Exception as e:
+                    log(f"{name} train bench failed: {e}")
             # opt-in W8A8 int8 sampling (ops/quant.py; TPU-only).  Skip
             # entirely when the backend won't actually dispatch int8 —
             # otherwise the plain bf16 numbers would be recorded (and

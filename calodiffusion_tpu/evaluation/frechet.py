@@ -31,6 +31,17 @@ def frechet_gaussian_distance(x: np.ndarray, y: np.ndarray,
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):
+        # TTUR/jetnet behavior: a LARGE imaginary part means the covariance
+        # product is badly conditioned and the result would be silently
+        # wrong — raise instead of returning it (ADVICE r4); tiny imaginary
+        # roundoff from sqrtm of a near-PSD product is expected and dropped
+        imax = float(np.abs(covmean.imag).max())
+        if imax > 1e-3 * max(float(np.abs(covmean.real).max()), 1.0):
+            raise ValueError(
+                f"sqrtm produced a significant imaginary component "
+                f"(max |imag| = {imax:.3g}); covariance product is "
+                f"ill-conditioned"
+            )
         covmean = covmean.real
     return float(
         diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)

@@ -434,15 +434,17 @@ class CaloDiffusion:
                     quant.scales_from_stats(aux.get(quant.STATS_COL, {}),
                                             margin=margin),
                 )
-        # QUANT_INT8_EXCLUDE: list of module-path substrings to keep in
+        # QUANT_INT8_EXCLUDE: list of module-path patterns to keep in
         # high precision (a conv whose path is absent from the scales
-        # table dispatches float).  The per-conv fence for configs where
-        # specific quantized convs measurably break fidelity — the
-        # cascade's measured table lives in docs/INT8_CASCADE.md
-        # (scripts/tpu_int8_cascade_ablation.py).
+        # table dispatches float).  Patterns match on full path-segment
+        # runs (quant.path_matches) — "Conv3d_1" cannot catch Conv3d_10.
+        # The per-conv fence for configs where specific quantized convs
+        # measurably break fidelity — the cascade's measured table lives
+        # in docs/INT8_CASCADE.md (scripts/tpu_int8_cascade_ablation.py).
         excl = self.config.get("QUANT_INT8_EXCLUDE") or []
         if excl:
-            dropped = [p for p in table if any(s in p for s in excl)]
+            dropped = [p for p in table
+                       if any(quant.path_matches(p, s) for s in excl)]
             table = {p: v for p, v in table.items() if p not in dropped}
             print(f"int8: excluding {len(dropped)} convs matching {excl}",
                   flush=True)

@@ -88,6 +88,24 @@ def scale_for(path: str):
     return s.get(path)
 
 
+def path_matches(path: str, pattern: str) -> bool:
+    """Segment-boundary containment for QUANT_INT8_EXCLUDE patterns.
+
+    The pattern's "/"-separated segments must appear as a contiguous run
+    of FULL segments in the module path — raw substring containment would
+    make "CondUnet_0/Conv3d_1" also exclude Conv3d_10..Conv3d_19 on wider
+    U-Nets (ADVICE r4).  A trailing "/" (e.g. "ResnetBlock_0/") matches
+    any descendant, same as before."""
+    psegs = [s for s in path.split("/") if s]
+    msegs = [s for s in pattern.split("/") if s]
+    if not msegs:
+        return False
+    return any(
+        psegs[i:i + len(msegs)] == msegs
+        for i in range(len(psegs) - len(msegs) + 1)
+    )
+
+
 def scales_from_stats(stats, margin: float = 1.0) -> dict:
     """Flatten a `quant_stats` variable collection into {path: scale}.
 

@@ -32,6 +32,22 @@ from calodiffusion_tpu.train.schedulers import EarlyStopper, ReduceLROnPlateau
 from calodiffusion_tpu.utils.profiling import StepTimer, trace
 
 
+def _norm_cache_cfg(v):
+    """Normalize ``CACHE_DATA_ON_DEVICE`` to True / False / "auto".
+
+    Configs are parsed yaml-lax, so the value may arrive as a string
+    ("false", "0", ...) — a literal-identity check would silently ignore
+    the opt-out (ADVICE r4)."""
+    if isinstance(v, str):
+        s = v.strip().lower()
+        if s in ("false", "0", "off", "no"):
+            return False
+        if s in ("true", "1", "on", "yes"):
+            return True
+        return "auto"
+    return v if v in (True, False) else "auto"
+
+
 class Train:
     def __init__(self, flags, config, load_data: bool = True,
                  save_model: bool = True, mesh=None):
@@ -395,9 +411,17 @@ class TrainDiffusion(Train):
             return params, opt_state, ema_params, loss
 
         @jax.jit
-        def val_step(params, data, E, layers, noise, rnd_normal, mask):
-            # mask zeroes padded rows out of the mean so the ragged last
-            # val batch doesn't bias the val loss
+        def val_step(params, data, E, layers, rnd_normal, mask, key):
+            # reference parity (train_diffusion.py:87): the val NOISE is
+            # redrawn every epoch (only the sigma draws rnd_normal are
+            # fixed), so it is generated here from a per-epoch key rather
+            # than cached; mask zeroes padded rows out of the mean so the
+            # ragged last val batch doesn't bias the val loss
+            noise = jax.random.normal(key, data.shape, jnp.float32)
+            if cold_diffu:
+                noise = model.gen_cold_image(
+                    E[:, :1], cold_noise_scale, noise
+                )
             return model.loss_function(
                 model.denoise_fn(params), data, E, jax.random.PRNGKey(0),
                 noise=noise, layers=layers, rnd_normal=rnd_normal, mask=mask,
@@ -422,7 +446,9 @@ class TrainDiffusion(Train):
         epochs - on remote-TPU links the per-epoch re-upload otherwise
         dominates wall-clock.
         """
-        cache_cfg = self.config.get("CACHE_DATA_ON_DEVICE", "auto")
+        cache_cfg = _norm_cache_cfg(
+            self.config.get("CACHE_DATA_ON_DEVICE", "auto")
+        )
         if self._device_cache is not None:
             # reshuffle the cached batch order every epoch so the cache is
             # no more rigid than streaming (which replays file order); the
@@ -510,63 +536,65 @@ class TrainDiffusion(Train):
 
             val_loss = 0.0
             if self.loader_val is not None:
-                # The whole val working set (batches + fixed noise + sigma
-                # draws + masks) is device-resident and FIXED across
-                # epochs: reference parity (train_diffusion.py:29-31 keeps
-                # the val noise constant for a stable val loss) and, over
-                # remote-TPU links, the per-epoch re-upload otherwise
-                # costs ~10s/epoch on a 1.5k-event val set.
+                # The val working set (batches + fixed sigma draws + masks)
+                # is device-resident and FIXED across epochs — over
+                # remote-TPU links the per-epoch re-upload otherwise costs
+                # ~10s/epoch on a 1.5k-event val set.  The val NOISE is NOT
+                # cached: the reference redraws it every epoch
+                # (train_diffusion.py:87) and only fixes the sigma draws
+                # (val_rnd, :29-31), so val_step draws it in-trace from a
+                # per-epoch key.
                 if self._val_cache is None:
                     cache = []
                     for i, (vE, vlayers, vdata) in enumerate(self.loader_val):
                         if i >= val_rnd.shape[0]:
                             break
-                        self.rng, k = jax.random.split(self.rng)
                         n_real = vE.shape[0]
-                        noise = jax.random.normal(
-                            k, vdata.shape, dtype=jnp.float32
-                        )
-                        if cold_diffu:
-                            noise = self.model.gen_cold_image(
-                                jnp.asarray(vE)[:, :1], cold_noise_scale,
-                                noise,
-                            )
                         rnd = val_rnd[i][:n_real]
                         vE_d, vlay_d, vdata_d = self._device_batch(
                             vE, vlayers, vdata
                         )
                         n_pad = vdata_d.shape[0] - n_real
                         rnd = jnp.pad(rnd, (0, n_pad))
-                        noise = jnp.pad(
-                            noise, [(0, n_pad)] + [(0, 0)] * (noise.ndim - 1)
-                        )
                         mask = jnp.pad(
                             jnp.ones(n_real, jnp.float32), (0, n_pad)
                         )
-                        noise_d, rnd_d, mask_d = (
-                            jax.device_put(a) for a in (noise, rnd, mask)
+                        rnd_d, mask_d = (
+                            jax.device_put(a) for a in (rnd, mask)
                         )
-                        cache.append(
-                            (vdata_d, vE_d, vlay_d, noise_d, rnd_d, mask_d)
-                        )
-                    if self.config.get("CACHE_DATA_ON_DEVICE", "auto") is False:
-                        # honor the explicit opt-out: evaluate this epoch
-                        # from the built list but rebuild (re-upload) next
-                        # epoch with the SAME fixed noise/rnd draws?  No —
-                        # semantics must not depend on the cache flag, so
-                        # keep the fixed working set host-side instead.
+                        cache.append((vdata_d, vE_d, vlay_d, rnd_d, mask_d))
+                    if _norm_cache_cfg(self.config.get(
+                            "CACHE_DATA_ON_DEVICE", "auto")) is False:
+                        # honor the explicit opt-out: keep the fixed working
+                        # set host-side (semantics must not depend on the
+                        # cache flag); re-uploaded with batch sharding each
+                        # epoch below
                         cache = [tuple(jax.device_get(t) if t is not None
                                        else None for t in b) for b in cache]
                     self._val_cache = cache
-                val_losses_dev = [
-                    val_step(
-                        self.params, vdata_d, vE_d,
-                        vlay_d if layer_cond else None, noise_d, rnd_d,
-                        mask_d,
+
+                def val_device(b):
+                    # CACHE_DATA_ON_DEVICE=False keeps the working set
+                    # host-side: re-apply the same batch sharding
+                    # _device_batch used (unsharded host arrays would lose
+                    # the mesh layout on multi-chip meshes)
+                    if not isinstance(b[0], np.ndarray):
+                        return b
+                    sh = mesh_lib.batch_sharding(self.mesh)
+                    return tuple(
+                        jax.device_put(jnp.asarray(t), sh)
+                        if t is not None else None for t in b
                     )
-                    for vdata_d, vE_d, vlay_d, noise_d, rnd_d, mask_d
-                    in self._val_cache
-                ]
+
+                self.rng, k = jax.random.split(self.rng)
+                val_keys = jax.random.split(k, max(len(self._val_cache), 1))
+                val_losses_dev = []
+                for vb, vkey in zip(self._val_cache, val_keys):
+                    vdata_d, vE_d, vlay_d, rnd_d, mask_d = val_device(vb)
+                    val_losses_dev.append(val_step(
+                        self.params, vdata_d, vE_d,
+                        vlay_d if layer_cond else None, rnd_d, mask_d, vkey,
+                    ))
                 val_loss = (
                     float(jnp.mean(jnp.stack(val_losses_dev)))
                     if val_losses_dev else 0.0

@@ -482,6 +482,94 @@ def ds1_family(epochs, particle="photon"):
     return seps
 
 
+def ds3_family(epochs):
+    """Dataset 3 at full 45x50x18 resolution, the shipped reference config
+    (reference configs/config_dataset3.json: LAYER_SIZE_UNET [32,32,32,32],
+    COMPRESS_Z, block+mid attention, SHOWERMAP 'logit-norm' with NO layer
+    factorization, cosine schedule + sigma time embed, ECUT 1.51e-5 GeV) —
+    the same architecture bench.py's ds3 throughput rows measure, so the
+    gate answers "fast but wrong?" for the benchmarked path.
+
+    Synthetic zeros are threshold-driven like the other families, but here
+    the threshold IS the shipped config's readout cut (ECUT 1.51e-5 GeV =
+    0.0151 raw MeV): at 40500 voxels per shower the energy-dependent
+    profile naturally puts a large, E-correlated fraction of voxels below
+    the cut, so no quantile tuning is needed and the config ships
+    unchanged."""
+    import jax
+
+    from calodiffusion_tpu.data.loader import load_data  # noqa: F401 (parity
+    # with the other families' lazy-import structure via run_family)
+    from tests.utils_test import tiny_ds2_config
+
+    # full-resolution ds3 training is the most expensive family per step
+    # (~12.5x the ds2 voxel count); the corpus knob records what was used
+    n_train, _ = parse_flag_value(sys.argv[1:], "--events", default=16384)
+
+    tmp = tempfile.mkdtemp(prefix="fid_ds3_")
+    rng = np.random.default_rng(3)
+    ecut_raw_mev = 1.51e-2  # shipped ECUT 1.51e-5 GeV, raw MeV units
+    z = np.arange(45, dtype=np.float32)[None, :, None, None]
+    r = np.arange(18, dtype=np.float32)[None, None, None, :]
+    for fname, n in (("dataset_3_1.hdf5", n_train),
+                     ("dataset_3_2.hdf5", 1536)):
+        showers = np.empty((n, 45 * 50 * 18), dtype=np.float32)
+        e_inc = 10 ** rng.uniform(3, 6, (n, 1)).astype(np.float32)  # MeV
+        # chunked: the full (n, 45, 50, 18) f32 intermediate chain would
+        # hold several 10+ GB copies at 32k events
+        for lo in range(0, n, 2048):
+            hi = min(lo + 2048, n)
+            e = e_inc[lo:hi]
+            t_max = (8 + 3 * (np.log10(e) - 3))[:, :, None, None]
+            prof_z = np.exp(-0.5 * ((z - t_max) / 6.0) ** 2)
+            prof_r = np.exp(-r / 3.0)
+            base = (prof_z * prof_r / 50.0).astype(np.float32)
+            s = base * rng.gamma(
+                2.0, 1.0, (hi - lo, 45, 50, 18)
+            ).astype(np.float32)
+            s *= 0.5 * e[:, :, None, None] / base.sum(
+                axis=(1, 2, 3), keepdims=True
+            )
+            s[s < ecut_raw_mev] = 0
+            showers[lo:hi] = s.reshape(hi - lo, -1)
+        with h5py.File(os.path.join(tmp, fname), "w") as f:
+            f.create_dataset("showers", data=showers)
+            f.create_dataset("incident_energies", data=e_inc)
+        del showers
+
+    cfg = tiny_ds2_config(
+        FILES=["dataset_3_1.hdf5"],
+        VAL_FILES=["dataset_3_2.hdf5"], EVAL=["dataset_3_2.hdf5"],
+        DATASET_NUM=3,
+        SHAPE_ORIG=[-1, 40500],
+        SHAPE_PAD=[-1, 1, 45, 50, 18],
+        SHAPE_FINAL=[-1, 1, 45, 50, 18],
+        # shipped ds3 network: thinner than ds2, Z-compressed
+        LAYER_SIZE_UNET=[32, 32, 32, 32], COND_SIZE_UNET=128,
+        BLOCK_ATTN=True, MID_ATTN=True, COMPRESS_Z=True,
+        SHOWERMAP="logit-norm",  # NO layer factorization (shipped config)
+        TIME_EMBED="sigma", NOISE_SCHED="cosine",
+        R_Z_INPUT=True,
+        EMAX=1000.0, EMIN=1.0, logE=True, MAXDEP=2,
+        ECUT=1.51e-5, SHOWERSCALE=0.001,
+        BATCH=64, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
+        EMA_DECAY=0.999,
+        CHECKPOINT_NAME="fidelity_ds3",
+        **swa_overrides(),
+    )
+    ref, ref_e, gen, gen_e, gen_q, gen_rt = run_family(
+        "ds3", cfg, tmp, epochs, "dataset_3_2.hdf5", "incident_energies",
+    )
+    # direct voxel grid (no rank-limited decode): occupancy features stay in
+    seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=45)
+    if gen_q is not None:
+        seps.update({
+            f"int8_{k}": v for k, v in
+            separations(ref, ref_e, gen_q, gen_e, nlayer_axis=45).items()
+        })
+    return seps
+
+
 def layer_family(epochs):
     """Two-stage cascade (LayerDiffusion): train base + layer models on
     synthetic ds2, generate layer energies with stage 1 and showers with
@@ -666,7 +754,8 @@ def main():
     # steps); layer's stage-2 is the cascade bottleneck (oracle-layers
     # diagnostic: AUC 0.81 even with true layer energies at 100 epochs —
     # and short-training AUC is variance-prone, hence 200 epochs + EMA).
-    default_epochs = {"hgcal": 25, "ds1": 100, "ds1pion": 100, "layer": 200}
+    default_epochs = {"hgcal": 25, "ds1": 100, "ds1pion": 100, "layer": 200,
+                      "ds3": 100}
 
     report = {}
     if os.path.exists(REPORT):
@@ -675,7 +764,7 @@ def main():
 
     runners = {"hgcal": hgcal_family, "ds1": ds1_family,
                "ds1pion": lambda e: ds1_family(e, particle="pion"),
-               "layer": layer_family}
+               "layer": layer_family, "ds3": ds3_family}
     for fam in families:
         seps = runners[fam](epochs or default_epochs[fam])
         if isinstance(seps, tuple):  # (seps, arrays-to-dump)

@@ -142,5 +142,58 @@ elif mode == "generate":
     write_out(fout, None, cfg, gen_phys, e_phys, first_write=True,
               do_mask=False)
     print(f"MPWROTE {fout}")
+
+elif mode == "cascade":
+    # two-stage CASCADE generation under jax.distributed (VERDICT r4 #6):
+    # stage 1 samples the layer-energy vector on the globally sharded
+    # conditioning, stage 2 conditions the shower U-Net on the stage-1
+    # output — the handoff itself runs sharded.  Mirrors
+    # LayerDiffusion.sample's key-splitting exactly (layerdiffusion.py
+    # :210) so the parity target is the production path.
+    from calodiffusion_tpu.inference import write_out  # noqa: E402
+    from calodiffusion_tpu.models.layerdiffusion import (  # noqa: E402
+        LayerDiffusion,
+    )
+    from calodiffusion_tpu.utils import preprocessing  # noqa: E402
+
+    lmodel = LayerDiffusion(cfg, n_steps=8, loss_type="l2")
+    lparams = mesh_lib.replicate(mesh, lmodel.init(jax.random.PRNGKey(0)))
+    shower_sampler = lmodel.make_sampler()
+
+    def cascade_fn(p, k, E):
+        k_lay, k_start, k_samp = jax.random.split(k, 3)
+        lay = lmodel.sample_layers(p, k_lay, E)
+        shape = (E.shape[0], *lmodel._data_shape)
+        start = lmodel.noise_generation(k_start, shape)
+        x = shower_sampler(lmodel, p, start, E, lay, 4, 0, k_samp, False)
+        return x, lay
+
+    out, lay = jax.jit(cascade_fn)(lparams, jax.random.PRNGKey(11), gE)
+    jax.block_until_ready(out)
+
+    shards = sorted(out.addressable_shards, key=lambda s: s.index[0].start)
+    local_gen = np.concatenate([np.asarray(s.data) for s in shards])
+    lshards = sorted(lay.addressable_shards, key=lambda s: s.index[0].start)
+    local_lay = np.concatenate([np.asarray(s.data) for s in lshards])
+    first_row = shards[0].index[0].start
+    print(f"MPROWS {first_row} {first_row + local_gen.shape[0]}")
+
+    gen_phys, e_phys = preprocessing.reverse_norm(
+        local_gen, np.asarray(E),
+        shape=cfg["SHAPE_FINAL"], config=cfg,
+        emax=cfg["EMAX"], emin=cfg["EMIN"], layerE=local_lay,
+        logE=cfg["logE"], binning_file=cfg.get("BIN_FILE", ""),
+        max_deposit=cfg["MAXDEP"], showerMap=cfg["SHOWERMAP"],
+        dataset_num=cfg["DATASET_NUM"], orig_shape=False,
+        ecut=float(cfg["ECUT"]),
+    )
+    gen_phys = gen_phys.reshape(cfg["SHAPE_ORIG"])
+    e_phys = np.reshape(e_phys, (e_phys.shape[0], -1))
+    fout = os.path.join(
+        data_dir, f"gen_cascade_{pid if nproc > 1 else 'single'}.h5"
+    )
+    write_out(fout, None, cfg, gen_phys, e_phys, first_write=True,
+              do_mask=False)
+    print(f"MPWROTE {fout}")
 else:
     raise SystemExit(f"unknown mode {mode!r}")

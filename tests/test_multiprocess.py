@@ -143,3 +143,48 @@ def test_two_process_generation_matches_single(tmp_path):
     # partitionable threefry is sharding-invariant)
     np.testing.assert_allclose(showers_2p, showers_1p, rtol=1e-4,
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_cascade_generation_matches_single(tmp_path):
+    """Two-stage CASCADE generation parity under jax.distributed
+    (VERDICT r4 #6): stage-1 layer-energy sampling feeds stage-2 shower
+    conditioning with BOTH stages globally sharded; the concatenation of
+    the two processes' h5 outputs must equal the single-process run."""
+    import h5py
+
+    data_dir = str(tmp_path)
+    _make_npz(data_dir)
+
+    ref = _run_worker(0, 1, 0, data_dir, mode="cascade")
+    out, err = ref.communicate(timeout=420)
+    assert ref.returncode == 0, f"single-process cascade failed:\n{err}"
+    assert "MPWROTE" in out
+
+    port = _free_port()
+    procs = [_run_worker(i, 2, port, data_dir, mode="cascade")
+             for i in range(2)]
+    rows = {}
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"multi-process cascade failed:\n{err}"
+        for line in out.splitlines():
+            if line.startswith("MPROWS"):
+                rows[i] = (int(line.split()[1]), int(line.split()[2]))
+    assert rows[0] == (0, 8) and rows[1] == (8, 16)
+
+    with h5py.File(os.path.join(data_dir, "gen_cascade_single.h5")) as f:
+        showers_1p = f["showers"][:]
+        e_1p = f["incident_energies"][:]
+    parts, eparts = [], []
+    for i in range(2):
+        with h5py.File(os.path.join(data_dir, f"gen_cascade_{i}.h5")) as f:
+            parts.append(f["showers"][:])
+            eparts.append(f["incident_energies"][:])
+    showers_2p = np.concatenate(parts)
+    e_2p = np.concatenate(eparts)
+
+    assert showers_2p.shape == showers_1p.shape
+    np.testing.assert_allclose(e_2p, e_1p, rtol=1e-6)
+    np.testing.assert_allclose(showers_2p, showers_1p, rtol=1e-4,
+                               atol=1e-5)

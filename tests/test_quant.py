@@ -396,3 +396,20 @@ def test_int8_disallowed_off_tpu_by_default(monkeypatch):
     assert not quant.int8_allowed()
     monkeypatch.setenv("CALODIFF_INT8", "force")
     assert quant.int8_allowed()
+
+
+def test_path_matches_segment_boundaries():
+    """QUANT_INT8_EXCLUDE patterns match full path-segment runs only:
+    'CondUnet_0/Conv3d_1' must not also exclude Conv3d_10..19 on wider
+    U-Nets (ADVICE r4)."""
+    pm = quant.path_matches
+    assert pm("CondUnet_0/Conv3d_1/kernel", "CondUnet_0/Conv3d_1")
+    assert not pm("CondUnet_0/Conv3d_10/kernel", "CondUnet_0/Conv3d_1")
+    assert not pm("CondUnet_0/Conv3d_12", "Conv3d_1")
+    # trailing slash = any descendant, same as the historical patterns
+    assert pm("CondUnet_0/ResnetBlock_0/Block_1/Conv3d_0", "ResnetBlock_0/")
+    assert not pm("CondUnet_0/ResnetBlock_01/Block_1", "ResnetBlock_0/")
+    # mid-path runs must be contiguous full segments
+    assert pm("a/b/c/d", "b/c")
+    assert not pm("a/b/x/c", "b/c")
+    assert not pm("a/b", "")

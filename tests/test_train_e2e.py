@@ -123,3 +123,40 @@ def test_train_ragged_val_with_batch_override(cfg, synth_data, tmp_path):
     with open(os.path.join(folder, "final_validation_losses.txt")) as f:
         vlosses = [float(x) for x in f.read().split()]
     assert len(vlosses) == 1 and np.isfinite(vlosses[0])
+
+
+def test_norm_cache_cfg_string_forms():
+    """Yaml-lax configs may carry CACHE_DATA_ON_DEVICE as a string; the
+    opt-out must not require a literal JSON false (ADVICE r4)."""
+    from calodiffusion_tpu.train.trainer import _norm_cache_cfg
+
+    assert _norm_cache_cfg(False) is False
+    assert _norm_cache_cfg("false") is False
+    assert _norm_cache_cfg("0") is False
+    assert _norm_cache_cfg("off") is False
+    assert _norm_cache_cfg(True) is True
+    assert _norm_cache_cfg("true") is True
+    assert _norm_cache_cfg("auto") == "auto"
+    assert _norm_cache_cfg(None) == "auto"
+
+
+@pytest.mark.slow
+def test_train_cache_opt_out_matches_cached(cfg, synth_data, tmp_path):
+    """CACHE_DATA_ON_DEVICE='false' (string form) must stream the val
+    working set host-side with IDENTICAL semantics to the device-cached
+    default: same seed + same data -> same recorded val losses."""
+    losses = {}
+    for tag, cache_val in (("on", "auto"), ("off", "false")):
+        flags = default_flags(
+            data_folder=synth_data,
+            checkpoint_folder=str(tmp_path / f"ckpt_{tag}"),
+        )
+        c = dict(cfg, MAXEPOCH=2, CACHE_DATA_ON_DEVICE=cache_val)
+        trainer = TrainDiffusion(flags, c)
+        trainer.train()
+        with open(os.path.join(trainer.checkpoint_folder,
+                               "final_validation_losses.txt")) as f:
+            losses[tag] = [float(x) for x in f.read().split()]
+        assert len(losses[tag]) == 2
+        assert all(np.isfinite(v) for v in losses[tag])
+    np.testing.assert_allclose(losses["on"], losses["off"], rtol=1e-5)
