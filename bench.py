@@ -109,7 +109,7 @@ def compact_fidelity_extras(fid: dict) -> dict:
         extras["int8_fidelity_ok"] = fid.get("int8_ok")
     extras["auc_ds2"] = fid.get("classifier_auc")
     extras["auc_ds2_int8"] = fid.get("int8_classifier_auc")
-    for fam in ("hgcal", "ds1", "ds1pion", "layer"):
+    for fam in ("hgcal", "ds1", "ds1pion", "layer", "ds3"):
         for k_in, k_out in ((f"{fam}_ok", f"{fam}_ok"),
                             (f"{fam}_int8_ok", f"{fam}_int8_ok"),
                             (f"{fam}_classifier_auc", f"auc_{fam}"),
@@ -117,6 +117,12 @@ def compact_fidelity_extras(fid: dict) -> dict:
                              f"auc_{fam}_int8")):
             if k_in in fid:
                 extras[k_out] = fid[k_in]
+    # multi-seed cascade statistics (scripts/tpu_cascade_seeds.py): the
+    # recipe-level gate over N independent trainings
+    for k in ("layer_seed_n", "layer_seed_auc_mean", "layer_seed_auc_ci95",
+              "layer_seeds_ok"):
+        if k in fid:
+            extras[k] = fid[k]
     # few-step production sampling (scripts/tpu_fewstep_check.py):
     # fastest (sampler, steps) that passed the same fidelity gate
     for pfx in ("fewstep", "fewstep_int8"):

@@ -178,7 +178,7 @@ def feature_deltas(f_ref, f_gen, top=8, include_occupancy=True):
 
 
 def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
-               sparse=False):
+               sparse=False, eval_batch=None):
     """Train + generate one family.  ``emin`` > 0 applies the inference
     CLI's --energy-min mask (apply_mask_conserveE, in the metric's
     loader units) to the generated showers before the fidelity metrics —
@@ -190,7 +190,10 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
     zeros".  ``sparse`` generates with GLaM sparse decoding — the
     reference's production HGCal inference path (slurm/
     inference_template.sh:49), which restores cell-level sparsity that
-    the dense pinv decode cannot."""
+    the dense pinv decode cannot.  ``eval_batch`` overrides the loader
+    batch for GENERATION only (the CLI --batch-size override path):
+    families whose TRAINING batch is memory-bound (ds3's full-res
+    backward) still sample on their measured throughput-plateau batch."""
     import jax
 
     from calodiffusion_tpu.data.loader import load_data
@@ -199,6 +202,10 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
     )
     from calodiffusion_tpu.train.trainer import TrainDiffusion
     from calodiffusion_tpu.utils.config import default_flags
+
+    def eval_flags():
+        extra = {"batch_size": eval_batch} if eval_batch else {}
+        return default_flags(data_folder=tmp, **extra)
 
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt",
                           seed=train_seed())
@@ -211,7 +218,7 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
           flush=True)
 
     t0 = time.time()
-    eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg, eval=True)
+    eval_loader, _ = load_data(eval_flags(), cfg, eval=True)
     print(f"[{tag}] eval data loaded in {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     gen, gen_e = model.generate(params, jax.random.PRNGKey(0), eval_loader,
@@ -223,8 +230,7 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
         model.config["QUANT_INT8"] = True
         if model.int8_sampling_enabled():
             t0 = time.time()
-            eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
-                                       eval=True)
+            eval_loader, _ = load_data(eval_flags(), cfg, eval=True)
             gen_q, _ = model.generate(params, jax.random.PRNGKey(0),
                                       eval_loader, sample_steps=400,
                                       sparse_decoding=sparse)
@@ -241,8 +247,7 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
         # enc->dec + ReverseNorm (a perfect diffusion model behind the same
         # rank-limited decode) — ceiling_* metrics vs the Geant reference
         t0 = time.time()
-        eval_loader, _ = load_data(default_flags(data_folder=tmp), cfg,
-                                   eval=True)
+        eval_loader, _ = load_data(eval_flags(), cfg, eval=True)
         gen_rt, _ = model.generate(params, jax.random.PRNGKey(0),
                                    eval_loader, sample_steps=400,
                                    sparse_decoding=sparse, roundtrip=True)
@@ -559,6 +564,10 @@ def ds3_family(epochs):
     )
     ref, ref_e, gen, gen_e, gen_q, gen_rt = run_family(
         "ds3", cfg, tmp, epochs, "dataset_3_2.hdf5", "incident_energies",
+        # training batch 64 is memory-bound (full-res backward); sampling
+        # runs at the measured ds3 throughput plateau (BASELINE.md: batch
+        # 128 vs 32 is ~4x showers/s at the same wall per run)
+        eval_batch=128,
     )
     # direct voxel grid (no rank-limited decode): occupancy features stay in
     seps = separations(ref, ref_e, gen, gen_e, nlayer_axis=45)
