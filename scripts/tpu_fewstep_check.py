@@ -352,9 +352,17 @@ def main():
     def measure_speeds(cand_list, mode):
         # throughput at each candidate's step count (random weights -
         # bench.py methodology; throughput is architecture/step-count
-        # determined)
+        # determined).  Candidates that FAILED both gates skip the
+        # measurement: each (sampler, steps) combo is a fresh jit program
+        # (minutes of trace+compile on this single-core host) and a
+        # dead-end row's verdict is its fidelity, not its speed.
         for cand in cand_list:
             sampler_name, steps, tag, overrides = norm_cand(cand)
+            r = results[mode].get(tag)
+            if r is not None and not (r["ok"] or r["rel_ok"]):
+                print(f"[{mode}:{tag}] speed skipped (failed gate)",
+                      flush=True)
+                continue
             c = dict(cfg)
             c.update(overrides)
             c["SAMPLER"] = sampler_name
@@ -447,8 +455,9 @@ def write_report(results, speeds, baseline, int8=False):
                 report[f"{prefix}_{tag}_{k}"] = r["seps"][k]
         report[f"{prefix}_{tag}_ok"] = r["ok"]
         report[f"{prefix}_{tag}_rel_ok"] = r["rel_ok"]
-        report[f"{prefix}_{tag}_showers_per_sec"] = round(speeds[tag], 2)
-        if r["ok"] and speeds[tag] > best_speed:
+        if tag in speeds:  # failed-gate candidates skip the measurement
+            report[f"{prefix}_{tag}_showers_per_sec"] = round(speeds[tag], 2)
+        if r["ok"] and speeds.get(tag, 0.0) > best_speed:
             best_tag, best_speed = tag, speeds[tag]
     if baseline is not None:
         report[f"{prefix}_baseline_auc"] = baseline.get("classifier_auc")
@@ -470,7 +479,8 @@ def write_report(results, speeds, baseline, int8=False):
     )
     rel_best, rel_speed = None, 0.0
     for tag, r in results.items():
-        if tag != "DDim_400" and r["rel_ok"] and speeds[tag] > rel_speed:
+        if (tag != "DDim_400" and r["rel_ok"]
+                and speeds.get(tag, 0.0) > rel_speed):
             rel_best, rel_speed = tag, speeds[tag]
     report[f"{prefix}_best_rel"] = rel_best
     report[f"{prefix}_best_rel_showers_per_sec"] = (

@@ -558,6 +558,14 @@ def ds3_family(epochs):
         EMAX=1000.0, EMIN=1.0, logE=True, MAXDEP=2,
         ECUT=1.51e-5, SHOWERSCALE=0.001,
         BATCH=64, MAXEPOCH=epochs, NSTEPS=400, PRECISION="bf16",
+        # full-res ds3 is memory-bound on this backend: the batch-64 step
+        # alone runs (probe: 342 ms), but adding the 1.6 GB device-resident
+        # train+val caches OOMs epoch 0 even with grad-accum microbatching
+        # — so STREAM the working set (re-upload per epoch, ~1.6 GB) and
+        # halve the step's activation memory at identical optimizer
+        # semantics (trainer.py TRAIN_MICROBATCH)
+        TRAIN_MICROBATCH=32,
+        CACHE_DATA_ON_DEVICE=False,
         EMA_DECAY=0.999,
         CHECKPOINT_NAME="fidelity_ds3",
         **swa_overrides(),
