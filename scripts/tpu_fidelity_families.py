@@ -207,8 +207,13 @@ def run_family(tag, cfg, tmp, epochs, eval_file, energy_key, emin=0.0,
         extra = {"batch_size": eval_batch} if eval_batch else {}
         return default_flags(data_folder=tmp, **extra)
 
+    # --resume (with --workdir): pick the training back up from the
+    # per-epoch checkpoint — the remote-TPU client can lose its RPC
+    # session mid-run (measured: host CPU starvation wedges the pending
+    # call forever), and a 100-epoch full-res family must not restart
+    # from scratch for that
     flags = default_flags(data_folder=tmp, checkpoint_folder=tmp + "/ckpt",
-                          seed=train_seed())
+                          seed=train_seed(), load="--resume" in sys.argv)
     trainer = TrainDiffusion(flags, cfg)
     t0 = time.time()
     model, params = trainer.train()
@@ -511,13 +516,22 @@ def ds3_family(epochs):
     # (~12.5x the ds2 voxel count); the corpus knob records what was used
     n_train, _ = parse_flag_value(sys.argv[1:], "--events", default=16384)
 
-    tmp = tempfile.mkdtemp(prefix="fid_ds3_")
+    # --workdir=PATH: reuse an existing data/checkpoint dir (pairs with
+    # --resume; the synthetic rng is deterministic, so existing files are
+    # identical to what a fresh run would regenerate)
+    workdir, _ = parse_flag_value(sys.argv[1:], "--workdir", default=None,
+                                  cast=str)
+    tmp = workdir or tempfile.mkdtemp(prefix="fid_ds3_")
+    if workdir:
+        os.makedirs(tmp, exist_ok=True)
     rng = np.random.default_rng(3)
     ecut_raw_mev = 1.51e-2  # shipped ECUT 1.51e-5 GeV, raw MeV units
     z = np.arange(45, dtype=np.float32)[None, :, None, None]
     r = np.arange(18, dtype=np.float32)[None, None, None, :]
-    for fname, n in (("dataset_3_1.hdf5", n_train),
-                     ("dataset_3_2.hdf5", 1536)):
+    file_spec = (("dataset_3_1.hdf5", n_train), ("dataset_3_2.hdf5", 1536))
+    if all(os.path.exists(os.path.join(tmp, f)) for f, _ in file_spec):
+        file_spec = ()  # deterministic data already on disk
+    for fname, n in file_spec:
         showers = np.empty((n, 45 * 50 * 18), dtype=np.float32)
         e_inc = 10 ** rng.uniform(3, 6, (n, 1)).astype(np.float32)  # MeV
         # chunked: the full (n, 45, 50, 18) f32 intermediate chain would
