@@ -13,6 +13,7 @@ XLA all-reduces gradients over ICI.  The LR rides inside the optax
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 from functools import partial
@@ -638,5 +639,14 @@ class TrainDiffusion(Train):
             # atomically and the next save/restore drains it first
             self._save("checkpoint", epoch, training_losses, val_losses,
                        scheduler, early_stopper, wait=False)
+
+            # Python's gc triggers on OBJECT counts, not bytes: the handful
+            # of multi-GB host buffers a streamed epoch traps in reference
+            # cycles (loader copies referenced by in-flight ArrayImpls) can
+            # sit ungathered for many epochs.  Measured: a 50-epoch
+            # streamed full-res ds3 run grew to 115 GB RSS (~one train-set
+            # copy per epoch) and was OOM-killed at epoch 37; an explicit
+            # per-epoch collect bounds it at the working set.
+            gc.collect()
 
         return epoch, training_losses, val_losses
