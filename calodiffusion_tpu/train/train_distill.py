@@ -229,12 +229,17 @@ class TrainDistillation(TrainDiffusion):
             return params, opt_state, ema_params, loss
 
         @jax.jit
-        def _val_step(params, teacher, data, E, layers, noise, rnd_normal,
-                      mask):
+        def _val_step(params, teacher, data, E, layers, rnd_normal, mask,
+                      key):
             # deterministic index from the fixed val normals (the parent
-            # loop feeds the same rnd_normal per batch every epoch); target
-            # = the student itself (stop-gradient): the self-consistency
-            # gap along teacher trajectories, a stable convergence signal
+            # loop feeds the same rnd_normal per batch every epoch); the
+            # noise itself is redrawn per epoch from the loop's key — the
+            # same calling convention as the parent trainer's val_step
+            # (trainer.py training_loop), whose argument order this
+            # override MUST match.  Target = the student itself
+            # (stop-gradient): the self-consistency gap along teacher
+            # trajectories, a stable convergence signal
+            noise = jax.random.normal(key, data.shape, data.dtype)
             u = jax.scipy.stats.norm.cdf(rnd_normal)
             idx = jnp.clip((u * (n_grid - 1)).astype(jnp.int32), 0,
                            n_grid - 2)
@@ -245,8 +250,8 @@ class TrainDistillation(TrainDiffusion):
             return _train_step(params, opt_state, ema_params,
                                self.teacher_params, key, data, E, layers)
 
-        def val_step(params, data, E, layers, noise, rnd_normal, mask):
+        def val_step(params, data, E, layers, rnd_normal, mask, key):
             return _val_step(params, self.teacher_params, data, E, layers,
-                             noise, rnd_normal, mask)
+                             rnd_normal, mask, key)
 
         return train_step, val_step
