@@ -769,10 +769,13 @@ def main():
     enable_compile_cache()
 
     _, argv = parse_flag_value(sys.argv[1:], "--events")  # strip flag+value
-    # strip --seed's VALUE too: the space form ("--seed 777") would
-    # otherwise leak the bare number into the positional list and be
-    # parsed as the epoch count
+    # strip the VALUES of --seed and --workdir too: the space form
+    # ("--seed 777", "--workdir /x") would otherwise leak the bare value
+    # into the positional list — a leaked workdir PATH parses as a family
+    # name and KeyErrors AFTER the real families ran but BEFORE the
+    # report write, losing a full run's measurements (it did, once)
     _, argv = parse_flag_value(argv, "--seed")
+    _, argv = parse_flag_value(argv, "--workdir", cast=str)
     pos = [a for a in argv if not a.startswith("--")]
     epochs = None
     if pos and pos[0].isdigit():  # epochs may be omitted (family names only)
@@ -796,6 +799,10 @@ def main():
     runners = {"hgcal": hgcal_family, "ds1": ds1_family,
                "ds1pion": lambda e: ds1_family(e, particle="pion"),
                "layer": layer_family, "ds3": ds3_family}
+    unknown = [f for f in families if f not in runners]
+    if unknown:  # fail BEFORE hours of training, not after
+        raise SystemExit(f"unknown families {unknown}; known: "
+                         f"{sorted(runners)}")
     for fam in families:
         seps = runners[fam](epochs or default_epochs[fam])
         if isinstance(seps, tuple):  # (seps, arrays-to-dump)
@@ -835,8 +842,10 @@ def main():
               "OK" if report[f"{fam}_ok"] else "NEEDS MORE TRAINING",
               flush=True)
 
-    with open(REPORT, "w") as f:
-        json.dump(report, f, indent=1)
+        # write after EVERY family: a crash in family N+1 must not lose
+        # family N's hours of measurements
+        with open(REPORT, "w") as f:
+            json.dump(report, f, indent=1)
     print(f"wrote {REPORT}", flush=True)
 
 
